@@ -1,0 +1,81 @@
+"""Severity parsing — the stanza severity table rebuilt as Column logic.
+
+Reference semantics (``pkg/stanza/operator/helper/severity_builder.go:18-80``
+and ``pkg/stanza/entry/severity.go:10-51``):
+
+- 25-level enum: Default=0, Trace=1..Trace4=4, Debug=5..8, Info=9..12,
+  Warn=13..16, Error=17..20, Fatal=21..24.
+- case-insensitive text aliases: trace/debug/info/notice/warn(ing)/err(or)/
+  crit/alert/emerg/fatal/catastrophe.
+- bare integers 1..24 map directly to the enum value.
+- HTTP-ish numeric ranges ("2xx"→Info, "3xx"→Info2, "4xx"→Warn, "5xx"→Error)
+  cover values 200-599.
+
+Implemented as one ``CASE WHEN`` chain over a lowered token — whole-stage
+codegen, no UDF, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# canonical text → number (severity_builder.go:24-80)
+SEVERITY_TEXT_TO_NUMBER: dict[str, int] = {
+    "default": 0,
+    "trace": 1, "trace2": 2, "trace3": 3, "trace4": 4,
+    "debug": 5, "debug2": 6, "debug3": 7, "debug4": 8,
+    "info": 9, "info2": 10, "info3": 11, "info4": 12,
+    "notice": 10,
+    "warn": 13, "warn2": 14, "warn3": 15, "warn4": 16,
+    "warning": 13,
+    "error": 17, "error2": 18, "error3": 19, "error4": 20,
+    "err": 17,
+    "crit": 21, "critical": 21,
+    "alert": 22,
+    "emerg": 23, "emergency": 23,
+    "fatal": 21, "fatal2": 22, "fatal3": 23, "fatal4": 24,
+    "catastrophe": 24,
+}
+
+NUMBER_TO_CANONICAL_TEXT = {
+    0: "DEFAULT",
+    1: "TRACE", 2: "TRACE2", 3: "TRACE3", 4: "TRACE4",
+    5: "DEBUG", 6: "DEBUG2", 7: "DEBUG3", 8: "DEBUG4",
+    9: "INFO", 10: "INFO2", 11: "INFO3", 12: "INFO4",
+    13: "WARN", 14: "WARN2", 15: "WARN3", 16: "WARN4",
+    17: "ERROR", 18: "ERROR2", 19: "ERROR3", 20: "ERROR4",
+    21: "FATAL", 22: "FATAL2", 23: "FATAL3", 24: "FATAL4",
+}
+
+
+def severity_number_col(token: Column) -> Column:
+    """Map a raw severity token column → severity_number (int).
+
+    Unmappable / null tokens → 0 (Default), matching the reference's
+    ``on parse failure keep Default`` behavior.
+    """
+    low = F.lower(F.trim(token))
+    text_map = F.create_map(
+        *[x for k, v in SEVERITY_TEXT_TO_NUMBER.items() for x in (F.lit(k), F.lit(v))]
+    )
+    as_int = low.try_cast("int")
+    return (
+        F.when(token.isNull(), F.lit(0))
+        .when(F.element_at(text_map, low).isNotNull(), F.element_at(text_map, low))
+        .when(as_int.between(1, 24), as_int)
+        .when(as_int.between(200, 299), F.lit(9))   # 2xx → Info
+        .when(as_int.between(300, 399), F.lit(10))  # 3xx → Info2
+        .when(as_int.between(400, 499), F.lit(13))  # 4xx → Warn
+        .when(as_int.between(500, 599), F.lit(17))  # 5xx → Error
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+
+
+def severity_text_col(number: Column) -> Column:
+    """severity_number → canonical severity_text (entry/severity.go string)."""
+    m = F.create_map(
+        *[x for k, v in NUMBER_TO_CANONICAL_TEXT.items() for x in (F.lit(k), F.lit(v))]
+    )
+    return F.coalesce(F.element_at(m, number), F.lit("DEFAULT"))

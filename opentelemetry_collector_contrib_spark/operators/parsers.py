@@ -1,0 +1,275 @@
+"""Stanza parser operators as DataFrame stage functions.
+
+Shared semantics rebuilt from ``pkg/stanza/operator/helper/parser.go:90-247``:
+read ``parse_from`` (default ``body``), materialize fields, then run
+timestamp / severity / trace sub-parsers. ``on_error`` ∈ {send, drop}
+(``helper/transformer.go:142-173,214-224``) is modeled as a ``_parse_error``
+flag column: ``send`` keeps flagged rows flowing (fields null), ``drop``
+filters them; the pipeline tees flagged rows into an ``_errors`` side output
+either way (plans/pipeline.py).
+
+Everything is Column expressions inside whole-stage codegen — the only
+Python-worker path is the optional Arrow regex mode (single-pass
+``Series.str.extract``), selectable when group count makes N× regexp_extract
+a loser.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.severity import severity_number_col, severity_text_col
+from ..functions.timefmt import strptime_to_spark
+
+# Default pipeline regex over the FIXTURES.md §1 line grammar; named groups as
+# in the reference's regex_parser configs (operator/parser/regex/parser_test.go).
+DEFAULT_LOG_PATTERN = (
+    r'^(?P<ts>\S+) (?P<sev>\S+) \[(?P<component>[^\]]+)\] '
+    r'user=(?P<user>\S+) ip=(?P<ip>\S+) latency_ms=(?P<latency_ms>\d+) msg="(?P<msg>.*)"$'
+)
+
+
+def java_regex(pattern: str) -> str:
+    """Python named-group syntax → Java (Spark JVM) named-group syntax.
+
+    Patterns are authored Python-style (``(?P<name>…)``) so the same string
+    drives ``re``/pandas on the Arrow path. Java named groups reject
+    underscores, and JVM extraction is positional anyway — so names are
+    stripped to plain capturing groups (indices are unchanged).
+    """
+    return re.sub(r"\(\?P<[^>]+>", "(", pattern)
+
+
+def _apply_on_error(df: DataFrame, error_col: Column, on_error: str) -> DataFrame:
+    """Attach/merge the _parse_error flag per transformer.go:142-173."""
+    flag = error_col if "_parse_error" not in df.columns else (F.col("_parse_error") | error_col)
+    df = df.withColumn("_parse_error", flag)
+    if on_error.startswith("drop"):
+        df = df.filter(~F.col("_parse_error"))
+    return df
+
+
+def regex_parser(
+    df: DataFrame,
+    pattern: str,
+    parse_from: str = "body",
+    on_error: str = "send",
+    mode: str = "column",
+    prefix: str = "",
+) -> DataFrame:
+    """Named-capture regex parse → one typed column per group.
+
+    Reference: ``pkg/stanza/operator/parser/regex/parser.go:16-67``. The
+    reference's memo cache (``regex/cache.go:25-74``) amortizes duplicate
+    raw lines in a row-at-a-time engine; vectorized regex makes it
+    unnecessary here (a distinct-join rewrite is available via
+    ``dedup.distinct_parse`` if a corpus is >90% duplicates).
+
+    mode="column": one JVM regexp_extract per group (codegen, no Python).
+    mode="arrow":  single-pass vectorized ``Series.str.extract`` pandas UDF —
+                   wins when the group count is large.
+    """
+    groups = list(re.compile(pattern).groupindex.keys())
+    if not groups:
+        raise ValueError("pattern must use named groups (?P<name>...)")
+    src = F.col(parse_from)
+
+    if mode == "arrow":
+        fields = ", ".join(f"{prefix}{g} string" for g in groups)
+
+        @F.pandas_udf(f"struct<{fields}>")
+        def _extract(s: pd.Series) -> pd.DataFrame:
+            out = s.str.extract(pattern)
+            out.columns = [f"{prefix}{g}" for g in groups]
+            return out
+
+        df = df.withColumn("_rx", _extract(src))
+        for g in groups:
+            df = df.withColumn(f"{prefix}{g}", F.col(f"_rx.{prefix}{g}"))
+        df = df.drop("_rx")
+    else:
+        jpat = java_regex(pattern)
+        matched = src.rlike(jpat)
+        for i, g in enumerate(groups, start=1):
+            df = df.withColumn(
+                f"{prefix}{g}", F.when(matched, F.regexp_extract(src, jpat, i))
+            )
+    return _apply_on_error(df, ~src.rlike(java_regex(pattern)), on_error)
+
+
+def json_parser(
+    df: DataFrame,
+    schema: T.StructType | str,
+    parse_from: str = "body",
+    parse_to: str | None = None,
+    on_error: str = "send",
+) -> DataFrame:
+    """JSON body → typed struct / promoted columns.
+
+    Reference: ``pkg/stanza/operator/parser/jsonparser/parser.go:29``.
+    With ``parse_to=None`` the struct's fields are promoted to top-level
+    columns (the common parse_to:attributes flattened model, SURVEY §1.3).
+    """
+    parsed = F.from_json(F.col(parse_from), schema)
+    err = F.col(parse_from).isNotNull() & parsed.isNull()
+    if parse_to:
+        df = df.withColumn(parse_to, parsed)
+    else:
+        df = df.withColumn("_j", parsed)
+        names = df.schema["_j"].dataType.fieldNames()
+        for n in names:
+            df = df.withColumn(n, F.col(f"_j.{n}"))
+        df = df.drop("_j")
+    return _apply_on_error(df, err, on_error)
+
+
+def csv_parser(
+    df: DataFrame,
+    header: list[str],
+    parse_from: str = "body",
+    delimiter: str = ",",
+    on_error: str = "send",
+) -> DataFrame:
+    """CSV line → columns named by ``header``.
+
+    Reference: ``pkg/stanza/operator/parser/csv/parser.go:78`` (static header
+    list; header-from-attribute variant is split()-based).
+    """
+    ddl = ", ".join(f"`{h}` string" for h in header)
+    parsed = F.from_csv(F.col(parse_from), ddl, {"sep": delimiter})
+    df = df.withColumn("_c", parsed)
+    for h in header:
+        df = df.withColumn(h, F.col(f"_c.`{h}`"))
+    df = df.drop("_c")
+    return _apply_on_error(df, F.col(parse_from).isNotNull() & parsed.isNull(), on_error)
+
+
+def keyvalue_parser(
+    df: DataFrame,
+    parse_from: str = "body",
+    out: str = "attributes",
+    delimiter: str = "=",
+    pair_delimiter: str = " ",
+) -> DataFrame:
+    """k=v pairs → map<string,string>.
+
+    Reference: ``pkg/stanza/operator/parser/keyvalue/parser.go:27`` —
+    maps to ``str_to_map`` directly.
+    """
+    return df.withColumn(
+        out, F.str_to_map(F.col(parse_from), F.lit(pair_delimiter), F.lit(delimiter))
+    )
+
+
+def time_parser(
+    df: DataFrame,
+    parse_from: str = "ts",
+    out: str = "timestamp",
+    layout: str = "%Y-%m-%dT%H:%M:%S.%fZ",
+    layout_type: str = "strptime",
+) -> DataFrame:
+    """Event-time parse; layout_type ∈ strptime | spark | epoch_{s,ms,us,ns}.
+
+    Reference: ``pkg/stanza/operator/helper/time.go:24-31,74-123``.
+    ``try_to_timestamp`` keeps parse failures as nulls instead of failing the
+    task (on_error: send).
+    """
+    src = F.col(parse_from)
+    if layout_type == "strptime":
+        fmt = strptime_to_spark(layout)
+        col = F.try_to_timestamp(src, F.lit(fmt))
+    elif layout_type == "spark":
+        col = F.try_to_timestamp(src, F.lit(layout))
+    elif layout_type == "epoch_s":
+        col = F.timestamp_seconds(src.cast("double"))
+    elif layout_type == "epoch_ms":
+        col = F.timestamp_millis(src.cast("long"))
+    elif layout_type == "epoch_us":
+        col = F.timestamp_micros(src.cast("long"))
+    elif layout_type == "epoch_ns":
+        col = F.timestamp_micros((src.cast("long") / 1000).cast("long"))
+    else:
+        raise ValueError(f"unknown layout_type {layout_type!r}")
+    return df.withColumn(out, col)
+
+
+def severity_parser(df: DataFrame, parse_from: str = "sev") -> DataFrame:
+    """Raw token → (severity_number, severity_text).
+
+    Reference: ``pkg/stanza/operator/helper/severity_builder.go:18-80``.
+    """
+    df = df.withColumn("severity_number", severity_number_col(F.col(parse_from)))
+    return df.withColumn("severity_text", severity_text_col(F.col("severity_number")))
+
+
+def trace_parser(
+    df: DataFrame, trace_id_from: str = "trace_id_hex", span_id_from: str | None = None
+) -> DataFrame:
+    """Hex strings → binary trace/span ids (``operator/parser/trace``)."""
+    df = df.withColumn("trace_id", F.unhex(F.col(trace_id_from)))
+    if span_id_from:
+        df = df.withColumn("span_id", F.unhex(F.col(span_id_from)))
+    return df
+
+
+def uri_parser(df: DataFrame, parse_from: str, prefix: str = "uri_") -> DataFrame:
+    """URL → scheme/host/path/query columns (``operator/parser/uri``)."""
+    src = F.col(parse_from)
+    return (
+        df.withColumn(f"{prefix}scheme", F.parse_url(src, F.lit("PROTOCOL")))
+        .withColumn(f"{prefix}host", F.parse_url(src, F.lit("HOST")))
+        .withColumn(f"{prefix}path", F.parse_url(src, F.lit("PATH")))
+        .withColumn(f"{prefix}query", F.parse_url(src, F.lit("QUERY")))
+    )
+
+
+# --- container parser (docker / containerd / cri-o auto-detect) -------------
+# Reference regexes: operator/parser/container/parser.go:31-43
+_CRIO_RE = r"^(?P<time>[^ Z]+Z?) (?P<stream>stdout|stderr) (?P<logtag>[PF]) ?(?P<log>.*)$"
+_CONTAINERD_RE = r"^(?P<time>[^ ^Z]+Z) (?P<stream>stdout|stderr) (?P<logtag>[PF]) ?(?P<log>.*)$"
+_DOCKER_MARK = r'^\{"log":'
+
+
+def container_parser(df: DataFrame, parse_from: str = "body") -> DataFrame:
+    """Auto-detect docker(JSON)/containerd/cri-o line format and parse.
+
+    Reference: ``operator/parser/container/parser.go:31-43,178``. Partial-line
+    recombine (logtag='P') is the ``transformers.recombine`` stage.
+    """
+    src = F.col(parse_from)
+    docker = F.from_json(src, "log string, stream string, time string")
+    is_docker = src.rlike(_DOCKER_MARK) & docker.isNotNull()
+    is_cri = src.rlike(java_regex(_CONTAINERD_RE))
+    return (
+        df.withColumn(
+            "container_format",
+            F.when(is_docker, "docker").when(is_cri, "containerd").otherwise(None),
+        )
+        .withColumn(
+            "log",
+            F.when(is_docker, docker["log"]).when(
+                is_cri, F.regexp_extract(src, java_regex(_CONTAINERD_RE), 4)
+            ),
+        )
+        .withColumn(
+            "stream",
+            F.when(is_docker, docker["stream"]).when(
+                is_cri, F.regexp_extract(src, java_regex(_CONTAINERD_RE), 2)
+            ),
+        )
+        .withColumn(
+            "logtag", F.when(is_cri, F.regexp_extract(src, java_regex(_CONTAINERD_RE), 3))
+        )
+        .withColumn(
+            "container_time",
+            F.when(is_docker, docker["time"]).when(
+                is_cri, F.regexp_extract(src, java_regex(_CONTAINERD_RE), 1)
+            ),
+        )
+    )

@@ -1,0 +1,141 @@
+"""Stanza row transformers as DataFrame stage functions.
+
+Reference: ``pkg/stanza/operator/transformer/<name>/transformer.go`` (docs at
+``pkg/stanza/docs/operators/*.md``). In the flat typed-column model most of
+these collapse to trivial Column ops; map-valued attribute columns get the
+map_* higher-order-function forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def add(df: DataFrame, field: str, value) -> DataFrame:
+    """``add`` — set field to a static value or Column expr (add/transformer.go:32)."""
+    col = value if isinstance(value, Column) else F.lit(value)
+    return df.withColumn(field, col)
+
+
+def move(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """``move`` — rename/relocate (move/transformer.go:26)."""
+    return df.withColumnRenamed(src, dst)
+
+
+def copy(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """``copy`` — duplicate field (copy/transformer.go:26)."""
+    return df.withColumn(dst, F.col(src))
+
+
+def remove(df: DataFrame, *fields: str) -> DataFrame:
+    """``remove`` — delete fields (remove/transformer.go:25)."""
+    return df.drop(*fields)
+
+
+def retain(df: DataFrame, *fields: str) -> DataFrame:
+    """``retain`` — keep only listed fields (retain/transformer.go:27)."""
+    return df.select(*fields)
+
+
+def flatten(df: DataFrame, struct_field: str) -> DataFrame:
+    """``flatten`` — promote a struct's fields one level (flatten/transformer.go:30)."""
+    others = [c for c in df.columns if c != struct_field]
+    return df.select(*others, f"{struct_field}.*")
+
+
+def assign_keys(df: DataFrame, src: str, keys: list[str], out: str) -> DataFrame:
+    """``assign_keys`` — zip list value with key names → map (assignkeys/transformer.go:25)."""
+    return df.withColumn(out, F.map_from_arrays(F.array(*[F.lit(k) for k in keys]), F.col(src)))
+
+
+def regex_replace(df: DataFrame, field: str, pattern: str, replacement: str) -> DataFrame:
+    """``regex_replace`` (regexreplace/transformer.go:27)."""
+    return df.withColumn(field, F.regexp_replace(F.col(field), pattern, replacement))
+
+
+def unquote(df: DataFrame, field: str) -> DataFrame:
+    """``unquote`` — strip surrounding quotes (unquote/transformer.go:26)."""
+    return df.withColumn(
+        field, F.regexp_replace(F.col(field), r'^"(.*)"$|^\'(.*)\'$', r"$1$2")
+    )
+
+
+def filter_drop(df: DataFrame, cond: Column, drop_ratio: float = 1.0, seed: int = 7) -> DataFrame:
+    """``filter`` — DROP rows matching cond; ``drop_ratio`` keeps a random share.
+
+    Reference: ``filter/config.go:38-46``, ``transformer.go:26-66`` (expr
+    matches ⇒ drop, with probabilistic keep). The random draw uses Spark's
+    per-row rand(seed) — deterministic per (seed, partition, row) only, so
+    production configs pin drop_ratio to 1.0 for exact replay; fractional
+    ratios are best-effort sampling exactly as in the reference.
+    """
+    if drop_ratio >= 1.0:
+        return df.filter(~cond)
+    return df.filter(~(cond & (F.rand(seed) < drop_ratio)))
+
+
+def router(
+    df: DataFrame,
+    routes: list[tuple[str, Column]],
+    default: str | None = "default",
+    out: str = "route_id",
+) -> DataFrame:
+    """``router`` — ordered routes, first match wins, non-matching rows DROPPED
+    unless a default route exists (auto-appended expr:"true").
+
+    Reference: ``router/transformer.go:38-120``, ``config.go:54-77``. A single
+    when-chain reproduces first-match-wins in one codegen pass.
+    """
+    expr = None
+    for name, cond in routes:
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(F.lit(default)) if default is not None else expr
+    df = df.withColumn(out, expr)
+    if default is None:
+        df = df.filter(F.col(out).isNotNull())
+    return df
+
+
+def recombine(
+    df: DataFrame,
+    is_first_entry: Column,
+    source_col: str = "source",
+    order_col: str = "doc_id",
+    combine_field: str = "body",
+    combine_with: str = "\n",
+    max_batch_size: int = 1000,
+    agg_extra: dict[str, Column] | None = None,
+) -> DataFrame:
+    """``recombine`` — stateful multiline merge, batch form.
+
+    Reference: ``transformer/recombine/config.go:40-62`` (is_first_entry /
+    source_identifier / combine_with, caps). Batch sessionization: a running
+    sum of the is_first flag over (source, order) numbers the sessions, then
+    one groupBy concatenates. Two shuffles (window + agg) on the same key —
+    Spark reuses the partitioning for the agg, so effectively one exchange.
+
+    The streaming form (force_flush_period) lives in streaming/stream.py.
+    max_batch_size splits oversize sessions exactly like the reference's cap.
+    """
+    w = Window.partitionBy(source_col).orderBy(order_col)
+    df = df.withColumn("_first", is_first_entry.cast("int"))
+    df = df.withColumn("_session", F.sum("_first").over(w))
+    df = df.withColumn(
+        "_chunk",
+        ((F.row_number().over(Window.partitionBy(source_col, "_session").orderBy(order_col)) - 1)
+         / max_batch_size).cast("int"),
+    )
+    aggs = [
+        F.concat_ws(combine_with, F.collect_list(combine_field)).alias(combine_field),
+        F.min(order_col).alias(order_col),
+        F.count(F.lit(1)).alias("recombined_n"),
+    ]
+    for name, col in (agg_extra or {}).items():
+        aggs.append(col.alias(name))
+    return df.groupBy(source_col, "_session", "_chunk").agg(*aggs).drop("_session", "_chunk")
+
+
+def noop(df: DataFrame) -> DataFrame:
+    """``noop`` (noop/transformer.go:23)."""
+    return df

@@ -1,0 +1,61 @@
+"""Lineage / metrics / checkpoint bookkeeping.
+
+Replicates the filelog checkpoint contract (``pkg/stanza/fileconsumer/
+internal/checkpoint/checkpoint.go:24-60``: offsets persisted after every poll
+cycle; resume = load offsets, skip consumed ranges) at Spark granularity:
+one lineage record per (stage, input_fingerprint) written atomically WITH the
+stage output (the _SUCCESS-gated directory is the commit point), so a rerun
+sees exactly which inputs were already processed and skips them — idempotent
+restart, at-least-once upgraded to effectively-once for deterministic stages.
+
+Backed by parquet dirs here; the table layout is Iceberg-compatible (swap the
+writer format on a cluster with the Iceberg runtime on the classpath).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class LineageLog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "_lineage"), exist_ok=True)
+
+    def completed(self, stage: str, fingerprint: str) -> bool:
+        """Has (stage, fingerprint) already committed? (resume check)"""
+        p = self._path(stage, fingerprint)
+        return os.path.exists(p)
+
+    def commit(self, stage: str, fingerprint: str, rows_in: int, rows_out: int, extra: dict | None = None) -> None:
+        """Record a completed stage run. Written AFTER the stage's output
+        directory is fully materialized — the ordering is the atomicity."""
+        rec = {
+            "stage": stage,
+            "fingerprint": fingerprint,
+            "rows_in": rows_in,
+            "rows_out": rows_out,
+            "wall_ts": time.time(),
+            "run_id": str(uuid.uuid4()),
+            **(extra or {}),
+        }
+        tmp = self._path(stage, fingerprint) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, self._path(stage, fingerprint))  # atomic rename = commit
+
+    def _path(self, stage: str, fingerprint: str) -> str:
+        safe = fingerprint.replace("/", "_")
+        return os.path.join(self.root, "_lineage", f"{stage}__{safe}.json")
+
+    def as_dataframe(self, spark: SparkSession) -> DataFrame:
+        d = os.path.join(self.root, "_lineage")
+        files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".json")]
+        if not files:
+            return spark.createDataFrame([], "stage string, fingerprint string, rows_in long, rows_out long")
+        return spark.read.json(files)

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the log pipeline.
+
+Defaults chosen for a local[N] developer box but scale-safe: AQE on (runtime
+re-plan + skew-join handling), Arrow on (all our Python stages are Arrow
+batch UDFs, never per-row Python), session TZ pinned to UTC so results are
+comparable against UTC-naive oracles (DuckDB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "otelcol-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    On a real cluster, ``master`` is left to spark-submit; locally we default
+    to ``local[$SPARK_GRAFT_CPUS or *]``. ``shuffle_partitions`` defaults to
+    the core count — right-sized for local; on a 1000-executor cluster this
+    is set to ~2-3× total cores by the submitter.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8
+        shuffle_partitions = int(cpus) if cpus.isdigit() else n
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
