@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse→severity→route→count query on
+sf0.001; ``queries()``/``oracle_sql()`` expose the operator catalog from
+``opentelemetry_collector_contrib_spark.plans.catalog`` (one entry per
+implemented operator from SURVEY.md §2, each with a DuckDB oracle where
+SQL-expressible).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from opentelemetry_collector_contrib_spark.plans import catalog  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: JSON parse → severity map → first-match route → per-sink
+    counts over events (the collector's logs path in miniature)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators import connectors, parsers
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = parsers.json_parser(df, "k int", parse_from="props", parse_to="j")
+    df = parsers.severity_parser(df, parse_from="event_type")
+    routed = connectors.routed_frame(
+        df,
+        [
+            connectors.Route("sink_errors", F.col("severity_number") >= 17),
+            connectors.Route("sink_big", F.col("value") > 150),
+        ],
+    )
+    return routed.groupBy("route_id", "severity_text").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(catalog.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(catalog.ORACLES)

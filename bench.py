@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Measures:
+1. Headline: the flagship token pipeline with sinks written
+   (parse→enrich→route→aggregate→parquet sinks) over a cached deterministic
+   tokens table at local[$SPARK_GRAFT_CPUS].
+2. Scaling evidence (BASELINE.json north rule, sandbox form): the SAME
+   compute e2e (parse→enrich→route→count-aggregate, sinkless — a single
+   local ext4 disk would serialize sink IO and measure the device, not the
+   engine) at N and 4N cores on identical input; efficiency =
+   (throughput_4N / throughput_N) / 4. Best-of-2 per level to damp JIT/page
+   -cache warmup.
+3. Every catalog query at $SPARK_GRAFT_SF_DIR (default sf0.1), timed with a
+   noop-format write (full materialization, no driver collect).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+BENCH_ROWS (default 8_000_000), BENCH_SCALING_N (default 4),
+BENCH_SKIP_SCALING=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from opentelemetry_collector_contrib_spark.plans import catalog  # noqa: E402
+from opentelemetry_collector_contrib_spark.plans.pipeline import run_pipeline  # noqa: E402
+from opentelemetry_collector_contrib_spark.session import get_spark  # noqa: E402
+from opentelemetry_collector_contrib_spark.sources.tokens import write_tokens_parquet  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("BENCH_ROWS", "8000000"))
+# N=2 vs 4N=8: measured CPU-burn tests show this sandbox VM time-shares
+# erratically above ~8 concurrent hot threads (noisy neighbor); the low-core
+# window gives stable, honest scaling numbers. Override with BENCH_SCALING_N.
+SCALING_N = int(os.environ.get("BENCH_SCALING_N", "2"))
+DATA_CACHE = os.path.join(REPO, ".bench_data", f"tokens_{BENCH_ROWS}")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_once(spark, tokens_path: str, tag: str, write_sinks: bool) -> float:
+    out = f"/tmp/bench_out_{tag}_{int(time.time()*1000)}"
+    t0 = time.time()
+    run_pipeline(spark, tokens_path, out, write_sinks=write_sinks)
+    wall = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return wall
+
+
+def bench_level(master_n: int, runs: int = 2) -> float:
+    """Best-of-N compute-e2e wall time at a parallelism level."""
+    spark = get_spark(
+        master=f"local[{master_n}]",
+        shuffle_partitions=master_n,
+        app_name=f"bench{master_n}",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    best = float("inf")
+    for i in range(runs):
+        best = min(best, run_once(spark, DATA_CACHE, f"n{master_n}_{i}", write_sinks=False))
+    spark.stop()
+    return best
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1] if "sf" in SF_DIR else SF_DIR
+
+    log(f"generating/caching {BENCH_ROWS} token rows at {DATA_CACHE}")
+    write_tokens_parquet(DATA_CACHE, BENCH_ROWS, seed=42)
+
+    # --- full-parallelism session: per-query timings + headline pipeline ---
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    query_secs: dict[str, float] = {}
+    for name, fn in catalog.QUERIES.items():
+        t0 = time.time()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            query_secs[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep the bench line printing no matter what
+            log(f"query {name} failed: {str(e).splitlines()[0][:120]}")
+            query_secs[name] = -1.0
+        log(f"query {name}: {query_secs[name]}s")
+
+    wall_full = run_once(spark, DATA_CACHE, f"full{CPUS}", write_sinks=True)
+    rps_full = BENCH_ROWS / wall_full
+    log(f"pipeline+sinks local[{CPUS}]: {wall_full:.1f}s = {rps_full:,.0f} rows/s")
+    spark.stop()
+
+    result = {
+        "metric": "pipeline_e2e_wall_sec",
+        "value": round(wall_full, 3),
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": sf,
+        "pipeline_rows": BENCH_ROWS,
+        "sequences_per_sec_with_sinks": round(rps_full, 1),
+        "parallelism": CPUS,
+    }
+
+    if os.environ.get("BENCH_SKIP_SCALING") != "1":
+        n, n4 = SCALING_N, SCALING_N * 4
+        wall_n = bench_level(n)
+        wall_n4 = bench_level(n4)
+        rps_n, rps_n4 = BENCH_ROWS / wall_n, BENCH_ROWS / wall_n4
+        eff = (rps_n4 / rps_n) / 4.0
+        log(
+            f"compute e2e local[{n}]: {wall_n:.1f}s={rps_n:,.0f}r/s; "
+            f"local[{n4}]: {wall_n4:.1f}s={rps_n4:,.0f}r/s; efficiency={eff:.2f}"
+        )
+        result.update(
+            {
+                "scaling_N": n,
+                f"compute_rows_per_sec_{n}cores": round(rps_n, 1),
+                f"compute_rows_per_sec_{n4}cores": round(rps_n4, 1),
+                "scaling_efficiency_N_to_4N": round(eff, 3),
+            }
+        )
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

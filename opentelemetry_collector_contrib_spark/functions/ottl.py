@@ -1,0 +1,637 @@
+"""OTTL-subset → pyspark Column compiler.
+
+The reference parses OTTL with participle into an AST and compiles closures
+executed per row (``pkg/ottl/parser.go:290-374``, grammar
+``pkg/ottl/grammar.go:16-520``). Here the same surface syntax compiles ONCE
+on the driver into a Catalyst Column tree — execution is whole-stage-codegen
+columnar, the optimizer sees through every expression.
+
+Supported subset (tracks ``pkg/ottl/LANGUAGE.md``):
+- statements  ``Editor(args...) [where <bool expr>]``
+- paths       ``body``, ``attributes["k"]``, ``resource.attributes["k"]``,
+              ``severity_number`` … resolved by a configurable PathResolver
+              (flat typed-column model by default, SURVEY §1.3)
+- literals    "str", 123, 1.5, true/false, nil, 0x0A… bytes
+- operators   == != < <= > >= ; and / or / not ; + - * / ; ( )
+- editors     set, delete_key, delete_matching_keys, keep_keys,
+              keep_matching_keys, replace_pattern, replace_all_patterns,
+              replace_match, truncate_all, limit, append
+- converters  the registry below (~60 functions, each mapping to a builtin
+              pyspark.sql.function — no Python UDFs)
+
+Error modes (``pkg/ottl/config.go:12-26``): ``ignore``/``silent`` compile
+casts to try_* forms (null on failure); ``propagate`` uses strict forms so a
+bad row fails the task.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------- lexer
+
+TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<hexbytes>0x[0-9a-fA-F]+)
+  | (?P<float>-?\d+\.\d+)
+  | (?P<int>-?\d+)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<op>==|!=|<=|>=|<|>|\+|-|\*|/|%|\(|\)|\[|\]|,|\.)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+""",
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+
+
+def tokenize(s: str) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    while i < len(s):
+        m = TOKEN_RE.match(s, i)
+        if not m:
+            raise ValueError(f"OTTL lex error at {s[i:i+20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append(Tok(kind, m.group()))
+    return out
+
+
+# ----------------------------------------------------------------------- AST
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class Path:
+    parts: list  # list of str | ("key", str)
+
+
+@dataclass
+class Call:
+    name: str
+    args: list
+
+
+@dataclass
+class BinOp:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class Not:
+    expr: object
+
+
+@dataclass
+class Statement:
+    editor: Call
+    where: object | None
+
+
+# -------------------------------------------------------------------- parser
+
+class Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of OTTL input")
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> None:
+        t = self.next()
+        if t.text != text:
+            raise ValueError(f"expected {text!r}, got {t.text!r}")
+
+    # statement := call ('where' orexpr)?
+    def statement(self) -> Statement:
+        call = self.call_or_path()
+        if not isinstance(call, Call):
+            raise ValueError("statement must start with an editor call")
+        where = None
+        t = self.peek()
+        if t and t.text == "where":
+            self.next()
+            where = self.or_expr()
+        if self.peek() is not None:
+            raise ValueError(f"trailing input at {self.peek().text!r}")
+        return Statement(call, where)
+
+    def or_expr(self):
+        left = self.and_expr()
+        while (t := self.peek()) and t.text == "or":
+            self.next()
+            left = BinOp("or", left, self.and_expr())
+        return left
+
+    def and_expr(self):
+        left = self.not_expr()
+        while (t := self.peek()) and t.text == "and":
+            self.next()
+            left = BinOp("and", left, self.not_expr())
+        return left
+
+    def not_expr(self):
+        t = self.peek()
+        if t and t.text == "not":
+            self.next()
+            return Not(self.not_expr())
+        return self.comparison()
+
+    def comparison(self):
+        left = self.addsub()
+        t = self.peek()
+        if t and t.text in ("==", "!=", "<", "<=", ">", ">="):
+            op = self.next().text
+            return BinOp(op, left, self.addsub())
+        return left
+
+    def addsub(self):
+        left = self.muldiv()
+        while (t := self.peek()) and t.text in ("+", "-"):
+            op = self.next().text
+            left = BinOp(op, left, self.muldiv())
+        return left
+
+    def muldiv(self):
+        left = self.unary()
+        while (t := self.peek()) and t.text in ("*", "/", "%"):
+            op = self.next().text
+            left = BinOp(op, left, self.unary())
+        return left
+
+    def unary(self):
+        t = self.peek()
+        if t and t.text == "(":
+            self.next()
+            e = self.or_expr()
+            self.expect(")")
+            return e
+        return self.term()
+
+    def term(self):
+        t = self.next()
+        if t.kind == "string":
+            return Lit(t.text[1:-1].encode().decode("unicode_escape"))
+        if t.kind == "int":
+            return Lit(int(t.text))
+        if t.kind == "float":
+            return Lit(float(t.text))
+        if t.kind == "hexbytes":
+            return Lit(bytes.fromhex(t.text[2:]))
+        if t.kind == "ident":
+            if t.text == "true":
+                return Lit(True)
+            if t.text == "false":
+                return Lit(False)
+            if t.text == "nil":
+                return Lit(None)
+            self.i -= 1
+            return self.call_or_path()
+        raise ValueError(f"unexpected token {t.text!r}")
+
+    def call_or_path(self):
+        name = self.next()
+        if name.kind != "ident":
+            raise ValueError(f"expected identifier, got {name.text!r}")
+        t = self.peek()
+        if t and t.text == "(":  # function call
+            self.next()
+            args = []
+            if self.peek() and self.peek().text != ")":
+                args.append(self.or_expr())
+                while self.peek() and self.peek().text == ",":
+                    self.next()
+                    args.append(self.or_expr())
+            self.expect(")")
+            return Call(name.text, args)
+        # path: ident ('.' ident | '[' string ']')*
+        parts: list = [name.text]
+        while (t := self.peek()) is not None:
+            if t.text == ".":
+                self.next()
+                parts.append(self.next().text)
+            elif t.text == "[":
+                self.next()
+                key = self.next()
+                if key.kind != "string":
+                    raise ValueError("only string map keys supported")
+                self.expect("]")
+                parts.append(("key", key.text[1:-1]))
+            else:
+                break
+        return Path(parts)
+
+
+def parse_statement(s: str) -> Statement:
+    return Parser(tokenize(s)).statement()
+
+
+def parse_condition(s: str):
+    p = Parser(tokenize(s))
+    e = p.or_expr()
+    if p.peek() is not None:
+        raise ValueError(f"trailing input at {p.peek().text!r}")
+    return e
+
+
+# ------------------------------------------------------------- path resolver
+
+class PathResolver:
+    """Maps OTTL paths onto the flat typed-column model (SURVEY §1.3).
+
+    ``attributes["x"]`` → column ``x`` if promoted, else
+    ``element_at(attributes, 'x')`` when an ``attributes`` MapType column
+    exists. ``resource.attributes["k.e.y"]`` → column ``k_e_y``. Top-level
+    names (body, severity_number, …) → same-named columns. Context prefixes
+    ``log.``/``resource.`` are accepted and stripped.
+    """
+
+    def __init__(self, df: DataFrame | None = None, overrides: dict[str, str] | None = None):
+        self.columns = set(df.columns) if df is not None else None
+        self.has_attr_map = bool(df is not None and "attributes" in df.columns and
+                                 df.schema["attributes"].dataType.typeName() == "map")
+        self.overrides = overrides or {}
+
+    def column_name(self, path: Path) -> str:
+        """The flat column an assignment targets."""
+        parts = list(path.parts)
+        if parts and parts[0] in ("log", "resource", "span", "metric", "datapoint"):
+            parts = parts[1:]
+        if not parts:
+            raise ValueError("empty path")
+        if parts[0] in ("attributes", "cache") and len(parts) == 2 and isinstance(parts[1], tuple):
+            key = parts[1][1]
+            name = self.overrides.get(key, key.replace(".", "_"))
+            return name
+        if len(parts) == 1 and isinstance(parts[0], str):
+            return self.overrides.get(parts[0], parts[0])
+        # body.field style
+        flat = "_".join(p if isinstance(p, str) else p[1] for p in parts)
+        return self.overrides.get(flat, flat.replace(".", "_"))
+
+    def resolve(self, path: Path) -> Column:
+        name = self.column_name(path)
+        if self.columns is not None and name not in self.columns and self.has_attr_map:
+            parts = list(path.parts)
+            if parts and parts[0] in ("log", "resource"):
+                parts = parts[1:]
+            if parts and parts[0] == "attributes" and len(parts) == 2:
+                return F.element_at(F.col("attributes"), parts[1][1])
+        return F.col(name)
+
+
+# ------------------------------------------------------- converter registry
+
+def _strict_or_try(error_mode: str, strict: str, lenient: str):
+    return lenient if error_mode in ("ignore", "silent") else strict
+
+
+def build_registry(error_mode: str = "ignore") -> dict:
+    """Converter name → Column function. Each maps to a pyspark builtin
+    (SURVEY §2.4 table); names match ``pkg/ottl/ottlfuncs`` registrations."""
+    cast_mode = "try_cast" if error_mode in ("ignore", "silent") else "cast"
+
+    def cast(c: Column, t: str) -> Column:
+        return getattr(c, cast_mode)(t)
+
+    reg: dict[str, object] = {
+        # type/coercion
+        "Int": lambda c: cast(c, "long"),
+        "Double": lambda c: cast(c, "double"),
+        "String": lambda c: c.cast("string"),
+        "Bool": lambda c: cast(c, "boolean"),
+        "Hex": lambda c: F.lower(F.hex(c)),
+        "ParseInt": lambda c, base: F.conv(c, base, F.lit(10)).cast("long"),
+        "Coalesce": lambda *cs: F.coalesce(*cs),
+        # Is{Type} predicates are static truths in the typed-column model
+        # (context_inferrer/column pruning make them compile-time): exposed
+        # for statement compatibility.
+        "IsString": lambda c: c.cast("string").isNotNull() | c.isNull(),
+        "IsEmpty": lambda c: (F.length(c.cast("string")) == 0) | c.isNull(),
+        # string
+        "Concat": lambda sep, *cs: F.concat_ws(sep if isinstance(sep, str) else "", *cs),
+        "Format": lambda fmt, *cs: F.format_string(_as_py(fmt), *cs),
+        "Split": lambda c, d: F.split(c, re.escape(_as_py(d))),
+        "Substring": lambda c, s, n: F.substring(c, _as_py(s) + 1, _as_py(n)),
+        "Trim": lambda c, *ch: F.trim(c),
+        "TrimPrefix": lambda c, p: F.regexp_replace(c, "^" + re.escape(_as_py(p)), ""),
+        "TrimSuffix": lambda c, s: F.regexp_replace(c, re.escape(_as_py(s)) + "$", ""),
+        "ToLowerCase": F.lower,
+        "ToUpperCase": F.upper,
+        "HasPrefix": lambda c, p: c.startswith(p),
+        "HasSuffix": lambda c, s: c.endswith(s),
+        "Contains": lambda c, sub: c.contains(sub),
+        "ContainsValue": lambda arr, v: F.array_contains(arr, v),
+        "Find": lambda c, sub: F.instr(c, _as_py(sub)) - 1,
+        "Len": lambda c: F.when(F.lit(True), _len_col(c)),
+        # regex
+        "IsMatch": lambda c, pat: c.rlike(_jre(pat)),
+        "ExtractPatterns": None,  # handled specially (multi-column)
+        # hash / ids
+        "MD5": lambda c: F.md5(c.cast("string")),
+        "SHA1": lambda c: F.sha1(c.cast("string")),
+        "SHA256": lambda c: F.sha2(c.cast("string"), 256),
+        "SHA512": lambda c: F.sha2(c.cast("string"), 512),
+        "XXH64": lambda c: F.xxhash64(c),
+        "FNV": lambda c: F.xxhash64(c),  # documented substitute: stable 64-bit hash
+        "Murmur3Hash": lambda c: F.hash(c).cast("long"),  # Spark hash IS murmur3_x86_32
+        # time
+        "Time": lambda c, fmt: F.try_to_timestamp(c, F.lit(_strptime(_as_py(fmt)))),
+        "FormatTime": lambda c, fmt: F.date_format(c, _strptime(_as_py(fmt))),
+        "TruncateTime": lambda c, d: F.date_trunc(_duration_unit(_as_py(d)), c),
+        "Now": lambda: F.current_timestamp(),
+        "UnixSeconds": lambda c: F.unix_timestamp(c).cast("long"),
+        "UnixMilli": lambda c: (F.unix_micros(c) / 1000).cast("long"),
+        "UnixMicro": F.unix_micros,
+        "UnixNano": lambda c: F.unix_micros(c) * 1000,
+        "Hour": F.hour,
+        "Minute": F.minute,
+        "Second": F.second,
+        "Day": F.dayofmonth,
+        "Month": F.month,
+        "Year": F.year,
+        "Weekday": lambda c: F.dayofweek(c) - 1,
+        # structured
+        "ParseJSON": None,  # needs schema arg: ParseJSON(col) → variant-ish; special
+        "ParseCSV": None,
+        "ParseKeyValue": lambda c, d="=", p=" ": F.str_to_map(c, F.lit(_as_py(p)), F.lit(_as_py(d))),
+        "ParseSeverity": None,  # severity_parser operator
+        # collections
+        "Keys": F.map_keys,
+        "Values": F.map_values,
+        "Sort": lambda c, *o: F.array_sort(c) if not o or _as_py(o[0]) == "asc" else F.reverse(F.array_sort(c)),
+        "SliceToMap": lambda arr, keys: F.map_from_arrays(keys, arr),
+        "Index": lambda c, i: F.element_at(c, _as_py(i) + 1),
+        # encode / misc
+        "Base64Encode": lambda c: F.base64(c.cast("binary")),
+        "Base64Decode": lambda c: F.unbase64(c).cast("string"),
+        "Log": lambda c: F.log(c),
+        "UUID": lambda: F.uuid(),
+        "IsInCidr": None,
+    }
+    return reg
+
+
+def _as_py(v):
+    """Literal-or-Column arg → python value (registry fns needing literals)."""
+    if isinstance(v, Column):
+        raise ValueError("this OTTL function requires a literal argument")
+    return v
+
+
+def _len_col(c: Column) -> Column:
+    return F.length(c)
+
+
+def _jre(pat) -> str:
+    from ..operators.parsers import java_regex
+
+    return java_regex(_as_py(pat))
+
+
+def _strptime(fmt: str) -> str:
+    from .timefmt import strptime_to_spark
+
+    if "%" in fmt:
+        return strptime_to_spark(fmt)
+    return fmt
+
+
+def _duration_unit(d: str) -> str:
+    return {"1h": "hour", "1m": "minute", "1s": "second", "1d": "day"}.get(d, d)
+
+
+# Positions whose arguments must stay python literals (format strings, regex
+# patterns, delimiters, offsets) — everything else is lifted to Column.
+LITERAL_ARG_POSITIONS: dict[str, frozenset[int]] = {
+    "Concat": frozenset([0]),
+    "Format": frozenset([0]),
+    "Split": frozenset([1]),
+    "Substring": frozenset([1, 2]),
+    "TrimPrefix": frozenset([1]),
+    "TrimSuffix": frozenset([1]),
+    "Find": frozenset([1]),
+    "IsMatch": frozenset([1]),
+    "ParseInt": frozenset([1]),
+    "Time": frozenset([1]),
+    "FormatTime": frozenset([1]),
+    "TruncateTime": frozenset([1]),
+    "ParseKeyValue": frozenset([1, 2]),
+    "Sort": frozenset([1]),
+    "Index": frozenset([1]),
+}
+
+
+# ------------------------------------------------------------------ compiler
+
+class Compiler:
+    def __init__(
+        self,
+        resolver: PathResolver | None = None,
+        error_mode: str = "ignore",
+    ):
+        self.resolver = resolver or PathResolver()
+        self.registry = build_registry(error_mode)
+        self.error_mode = error_mode
+
+    def compile_value(self, node) -> Column | object:
+        """AST value → Column (or python literal for literal-arg functions)."""
+        if isinstance(node, Lit):
+            return node.value
+        if isinstance(node, Path):
+            return self.resolver.resolve(node)
+        if isinstance(node, Call):
+            fn = self.registry.get(node.name)
+            if fn is None:
+                raise ValueError(f"unsupported OTTL converter {node.name!r}")
+            args = [self.compile_value(a) for a in node.args]
+            lit_pos = LITERAL_ARG_POSITIONS.get(node.name, frozenset())
+            conv = [
+                a if (i in lit_pos or isinstance(a, Column)) else F.lit(a)
+                for i, a in enumerate(args)
+            ]
+            return fn(*conv)
+        if isinstance(node, BinOp):
+            return self._binop(node)
+        if isinstance(node, Not):
+            return ~self._as_col(self.compile_value(node.expr))
+        raise ValueError(f"cannot compile {node!r}")
+
+    def _as_col(self, v) -> Column:
+        return v if isinstance(v, Column) else F.lit(v)
+
+    def _binop(self, node: BinOp) -> Column:
+        if node.op in ("and", "or"):
+            l, r = self._as_col(self.compile_value(node.left)), self._as_col(self.compile_value(node.right))
+            return (l & r) if node.op == "and" else (l | r)
+        l = self.compile_value(node.left)
+        r = self.compile_value(node.right)
+        lc, rc = self._as_col(l), self._as_col(r)
+        ops = {
+            "==": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+            "+": lambda a, b: a + b,
+            "-": lambda a, b: a - b,
+            "*": lambda a, b: a * b,
+            "/": lambda a, b: a / b,
+            "%": lambda a, b: a % b,
+        }
+        return ops[node.op](lc, rc)
+
+    def compile_condition(self, cond_str: str) -> Column:
+        return self._as_col(self.compile_value(parse_condition(cond_str)))
+
+    # ---- statement application (editors mutate the DataFrame) ----
+
+    def apply(self, df: DataFrame, stmt_str: str) -> DataFrame:
+        """Execute one statement: ``Editor(args) where cond`` ⇒ conditional
+        column rewrite — exactly ``StatementSequence.Execute`` semantics
+        (``parser.go:407-427``): later statements see earlier results."""
+        stmt = parse_statement(stmt_str)
+        self.resolver.columns = set(df.columns)
+        cond = self._as_col(self.compile_value(stmt.where)) if stmt.where is not None else None
+        ed = stmt.editor
+        name = ed.name
+
+        def guarded(target: str, new: Column) -> DataFrame:
+            if cond is None:
+                return df.withColumn(target, new)
+            old = F.col(target) if target in df.columns else F.lit(None)
+            return df.withColumn(target, F.when(cond, new).otherwise(old))
+
+        if name == "set":
+            target = self.resolver.column_name(ed.args[0])
+            value = self._as_col(self.compile_value(ed.args[1]))
+            return guarded(target, value)
+        if name in ("delete_key", "delete_matching_keys", "keep_matching_keys", "keep_keys"):
+            target = self.resolver.column_name(ed.args[0])
+            col = F.col(target)
+            if name == "delete_key":
+                key = _as_py(self.compile_value(ed.args[1]))
+                new = F.map_filter(col, lambda k, v: k != key)
+            elif name == "delete_matching_keys":
+                pat = _jre(self.compile_value(ed.args[1]))
+                new = F.map_filter(col, lambda k, v: ~k.rlike(pat))
+            elif name == "keep_matching_keys":
+                pat = _jre(self.compile_value(ed.args[1]))
+                new = F.map_filter(col, lambda k, v: k.rlike(pat))
+            else:  # keep_keys
+                keys = [_as_py(self.compile_value(a)) for a in ed.args[1:]]
+                arr = F.array(*[F.lit(k) for k in keys])
+                new = F.map_filter(col, lambda k, v: F.array_contains(arr, k))
+            return guarded(target, new)
+        if name in ("replace_pattern", "replace_match"):
+            target = self.resolver.column_name(ed.args[0])
+            pat = _as_py(self.compile_value(ed.args[1]))
+            repl = _as_py(self.compile_value(ed.args[2]))
+            if name == "replace_match":  # glob → regex
+                pat = "^" + re.escape(pat).replace(r"\*", ".*") + "$"
+                repl_rx = repl
+            else:
+                pat = _jre_str(pat)
+                repl_rx = re.sub(r"\$\$(\d)", r"$\1", repl)
+            return guarded(target, F.regexp_replace(F.col(target), pat, repl_rx))
+        if name == "replace_all_patterns":
+            target = self.resolver.column_name(ed.args[0])
+            mode = _as_py(self.compile_value(ed.args[1]))  # "key" or "value"
+            pat = _jre_str(_as_py(self.compile_value(ed.args[2])))
+            repl = _as_py(self.compile_value(ed.args[3]))
+            col = F.col(target)
+            if mode == "value":
+                new = F.transform_values(col, lambda k, v: F.regexp_replace(v, pat, repl))
+            else:
+                new = F.map_from_entries(
+                    F.transform(
+                        F.map_entries(col),
+                        lambda e: F.struct(
+                            F.regexp_replace(e["key"], pat, repl).alias("key"),
+                            e["value"].alias("value"),
+                        ),
+                    )
+                )
+            return guarded(target, new)
+        if name == "truncate_all":
+            target = self.resolver.column_name(ed.args[0])
+            n = _as_py(self.compile_value(ed.args[1]))
+            return guarded(target, F.transform_values(F.col(target), lambda k, v: F.substring(v, 1, n)))
+        if name == "limit":
+            target = self.resolver.column_name(ed.args[0])
+            n = _as_py(self.compile_value(ed.args[1]))
+            col = F.col(target)
+            keep = F.slice(F.array_sort(F.map_keys(col)), 1, n)
+            return guarded(target, F.map_filter(col, lambda k, v: F.array_contains(keep, k)))
+        if name == "append":
+            target = self.resolver.column_name(ed.args[0])
+            vals = [self._as_col(self.compile_value(a)) for a in ed.args[1:]]
+            base = F.col(target) if target in df.columns else F.array()
+            return guarded(target, F.concat(base, F.array(*vals)))
+        raise ValueError(f"unsupported OTTL editor {name!r}")
+
+    def apply_all(self, df: DataFrame, statements: list[str]) -> DataFrame:
+        for s in statements:
+            df = self.apply(df, s)
+        return df
+
+
+def _jre_str(pat: str) -> str:
+    from ..operators.parsers import java_regex
+
+    return java_regex(pat)
+
+
+def transform_processor(
+    df: DataFrame,
+    statements: list[str],
+    error_mode: str = "ignore",
+    overrides: dict[str, str] | None = None,
+) -> DataFrame:
+    """transformprocessor analog: ordered OTTL statement group over logs.
+
+    Reference: ``processor/transformprocessor/internal/common/logs.go:32-122``.
+    """
+    c = Compiler(PathResolver(df, overrides), error_mode)
+    return c.apply_all(df, statements)
+
+
+def filter_processor_ottl(
+    df: DataFrame, conditions: list[str], overrides: dict[str, str] | None = None
+) -> DataFrame:
+    """filterprocessor with OTTL conditions (OR'd; match ⇒ DROP).
+
+    Reference: ``processor/filterprocessor/logs.go:98-162``.
+    """
+    c = Compiler(PathResolver(df, overrides))
+    pred = None
+    for s in conditions:
+        col = c.compile_condition(s)
+        pred = col if pred is None else (pred | col)
+    return df.filter(~(pred & pred.isNotNull()))

@@ -90,20 +90,32 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k_shingle: int = 5,
     jaccard_threshold: float = 0.7,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
-    Scale path: signature → explode into ``bands`` band-hash keys →
-    self-equi-join on (band, band_hash) → verify estimated Jaccard from full
-    signatures. The join is an equi-join on a short key (AQE handles skewed
-    buckets); no cross join ever materializes. Returns (id_a, id_b, jaccard_est).
+    Scale path, in order:
+      1. signature per doc (Column-only, JVM),
+      2. explode into ``bands`` slim (id, band, band_hash) rows — signatures
+         are NOT carried into the join (the shuffle moves 24 bytes/row, not
+         the 8*num_hashes-byte signature),
+      3. drop pathological buckets (> ``max_bucket_size`` members): a bucket
+         of B docs yields B²/2 pairs; beyond the cap the members are near
+         identical and the surviving pairs re-surface via other bands or the
+         exact-dedup pass. Standard LSH skew guard — without it one hot
+         bucket is quadratic,
+      4. self-equi-join per bucket → distinct candidate pairs,
+      5. re-attach both signatures by id join and verify estimated Jaccard.
+    No cross join ever materializes. Returns (id_a, id_b, jaccard_est).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), k_shingle), num_hashes)
-    base = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    # materialize shingles as a real column BEFORE the signature: the
+    # signature references it num_hashes times, and Spark does no CSE across
+    # those references — inline, the shingle build would run 32×/row.
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh"))
+    base = sh.select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     banded = base.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -111,7 +123,11 @@ def minhash_lsh_pairs(
                         F.lit(b).alias("band"),
                         F.xxhash64(
                             F.concat_ws(
-                                ",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)]
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
                             )
                         ).alias("bh"),
                     )
@@ -119,14 +135,23 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bh")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    ).select("id", "bb.band", "bb.bh")
+    small = (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
+    banded = banded.join(small, ["band", "bh"])  # drop hot buckets
+    a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     est = (
         F.aggregate(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -153,12 +178,14 @@ def simhash(col: Column, bits: int = 64) -> Column:
     hashes = F.transform(words, lambda w: F.xxhash64(w))
     bit_cols = []
     for i in range(bits):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+        mask = F.lit(1 << i) if i < 63 else F.lit(-(2**63))  # sign bit as long
+        def _vote_fn(m):
+            return lambda acc, h: acc + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+
+        vote = F.aggregate(hashes, F.lit(0), _vote_fn(mask))
+        bit_cols.append(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         )
-        bit_cols.append(F.when(vote > 0, F.lit(1).cast("long") << i).otherwise(0))
     out = bit_cols[0]
     for c in bit_cols[1:]:
         out = out.bitwiseOR(c)

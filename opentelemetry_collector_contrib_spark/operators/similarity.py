@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — pure Column math (zip_with/aggregate),
+JVM-side, no UDF; one pass over the table per query vector.
+
+Scale path: random-hyperplane LSH (a.k.a. SimHash for vectors) bucketing —
+each vector hashes to a small signature; candidates share a bucket in at
+least one band. Turns O(n) per query into an equi-join probe, and
+all-pairs search into a bucket-local join, exactly like minhash LSH for
+text (operators/dedup.py). An IVF variant (k-means coarse quantizer) would
+slot in the same way; the hyperplane scheme avoids an iterative training
+job while keeping the bucket-join shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    df: DataFrame, query: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k for one query vector. Scan + per-partition top-k
+    (Spark's TakeOrderedAndProject keeps only k rows per partition — no full
+    sort, no shuffle of the table)."""
+    qcol = F.array(*[F.lit(float(v)) for v in query])
+    vec = F.transform(vec_col, lambda x: x.cast("double"))
+    return (
+        df.select(id_col, cosine(vec, qcol).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def hyperplane_signature(
+    vec_col: Column, dim: int, bits: int = 16, seed: int = 7
+) -> Column:
+    """Random-hyperplane LSH signature as an int: bit_i = sign(v · h_i).
+
+    Hyperplanes are driver-side constants (seeded) — the per-row work is
+    ``bits`` dot products, all Column math inside codegen.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        h = F.array(*[F.lit(float(x)) for x in planes[i]])
+        dot = F.aggregate(F.zip_with(vec_col, h, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+        sig = sig + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 12,
+    bands: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: probe only vectors sharing ≥1 LSH band with the
+    query. At 10^12 scale the signature column is precomputed/persisted and
+    partition-pruned; here it's computed inline. Recall rises with bands.
+    """
+    dim = len(query)
+    vec = F.transform(vec_col, lambda x: x.cast("double"))
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+
+    sig = hyperplane_signature(vec, dim, bits, seed)
+    df = df.withColumn("_sig", sig)
+
+    # query signature computed driver-side with the same planes
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+    q = np.array(query, dtype=np.float64)
+    qsig = 0
+    for i in range(bits):
+        if planes[i].dot(q) > 0:
+            qsig |= 1 << i
+    cond = None
+    for b in range(bands):
+        shift = b * band_bits
+        band_eq = (F.shiftrightunsigned(F.col("_sig"), shift).bitwiseAND(F.lit(mask))) == ((qsig >> shift) & mask)
+        cond = band_eq if cond is None else (cond | band_eq)
+
+    qcol = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        df.filter(cond)
+        .select(id_col, cosine(vec, qcol).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def all_pairs_above(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH band bucket join → exact cosine
+    verify. Same shape as minhash_lsh_pairs (slim keys in the join, hot
+    buckets capped, vectors re-attached by id for the verify)."""
+    dim = len(df.select(vec_col).first()[0])
+    vec = F.transform(vec_col, lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), vec.alias("v")).withColumn(
+        "_sig", hyperplane_signature(F.col("v"), dim, bits, seed)
+    )
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("_sig"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    small = (
+        banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket_size)
+        .drop("_n")
+    )
+    banded = banded.join(small, ["band", "bh"])
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    out = pairs.join(va, "id_a").join(vb, "id_b")
+    return (
+        out.withColumn("cos_sim", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )

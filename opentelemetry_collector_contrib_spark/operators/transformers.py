@@ -126,8 +126,22 @@ def recombine(
         ((F.row_number().over(Window.partitionBy(source_col, "_session").orderBy(order_col)) - 1)
          / max_batch_size).cast("int"),
     )
+    # collect_list gives no cross-partition ordering guarantee — gather
+    # (order, value) structs and sort inside the aggregate (array_sort on
+    # structs orders by first field), exactly the arrival order the
+    # reference preserves per source.
     aggs = [
-        F.concat_ws(combine_with, F.collect_list(combine_field)).alias(combine_field),
+        F.concat_ws(
+            combine_with,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(order_col).alias("o"), F.col(combine_field).alias("v"))
+                    )
+                ),
+                lambda s: s["v"],
+            ),
+        ).alias(combine_field),
         F.min(order_col).alias(order_col),
         F.count(F.lit(1)).alias("recombined_n"),
     ]

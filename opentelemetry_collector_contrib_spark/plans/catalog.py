@@ -1,0 +1,638 @@
+"""Query catalog: one entry per implemented operator, each with a DuckDB
+ANSI-SQL oracle over the same parquet tables.
+
+This is the correctness contract consumed by ``__spark_entry__.py``: the
+driver runs each Spark query AND its oracle at sf=0.01 and compares
+row-count + schema + order-insensitive value hashes. Column names/aliases
+are kept identical on both sides; double aggregations go through
+decimal(18,2) so sums are exact (float addition order differs between
+engines); hashes use md5/sha256 (identical hex in both engines).
+
+Queries deliberately exercise the operator stages from SURVEY.md §2 —
+parsers, transformers, processors, connectors, dedup family, text analysis,
+similarity — over the driver-provided tables (events/documents/embeddings/
+TPC-H star schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.severity import severity_number_col, severity_text_col
+from ..operators import connectors, dedup, parsers, processors, transformers
+
+HEX = "0123456789abcdef"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- parse
+
+def q_regex_parser(spark, sf_dir):
+    """stanza regex_parser (operator/parser/regex/parser.go:16-67): named
+    groups over documents.text, row-level."""
+    df = _t(spark, sf_dir, "documents")
+    df = parsers.regex_parser(df, r"^(?P<w1>\w+) (?P<w2>\w+)", parse_from="text")
+    return df.select(
+        "doc_id",
+        F.col("w1").alias("w1"),
+        F.col("w2").alias("w2"),
+        F.col("_parse_error").alias("parse_error"),
+    )
+
+
+SQL_REGEX_PARSER = r"""
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '^(\w+) (\w+)') THEN regexp_extract(text, '^(\w+) (\w+)', 1) END AS w1,
+       CASE WHEN regexp_matches(text, '^(\w+) (\w+)') THEN regexp_extract(text, '^(\w+) (\w+)', 2) END AS w2,
+       NOT regexp_matches(text, '^(\w+) (\w+)') AS parse_error
+FROM documents
+"""
+
+
+def q_json_parser(spark, sf_dir):
+    """stanza json_parser (operator/parser/jsonparser/parser.go:29):
+    events.props JSON → typed field."""
+    df = _t(spark, sf_dir, "events")
+    df = parsers.json_parser(df, "k int", parse_from="props", parse_to="j")
+    return df.select("event_id", F.col("j.k").alias("k_int"))
+
+
+SQL_JSON_PARSER = """
+SELECT event_id, CAST(json_extract_string(props, 'k') AS INT) AS k_int FROM events
+"""
+
+
+def q_keyvalue_parser(spark, sf_dir):
+    """stanza key_value_parser (operator/parser/keyvalue/parser.go:27):
+    str_to_map round-trip over a synthesized k=v line."""
+    df = _t(spark, sf_dir, "events").withColumn(
+        "kv", F.format_string("type=%s user=%d", F.col("event_type"), F.col("user_id"))
+    )
+    df = parsers.keyvalue_parser(df, parse_from="kv", out="m")
+    return df.select(
+        "event_id",
+        F.element_at("m", "type").alias("type_parsed"),
+        F.element_at("m", "user").cast("bigint").alias("user_parsed"),
+    )
+
+
+SQL_KEYVALUE_PARSER = """
+SELECT event_id, event_type AS type_parsed, user_id AS user_parsed FROM events
+"""
+
+
+def q_severity_parser(spark, sf_dir):
+    """stanza severity_parser (helper/severity_builder.go:18-80) over
+    event_type tokens ('error' is the only mapped alias here)."""
+    df = _t(spark, sf_dir, "events")
+    df = parsers.severity_parser(df, parse_from="event_type")
+    return df.select("event_id", "severity_number", "severity_text")
+
+
+SQL_SEVERITY_PARSER = """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 17 ELSE 0 END AS severity_number,
+       CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'DEFAULT' END AS severity_text
+FROM events
+"""
+
+
+def q_time_parser(spark, sf_dir):
+    """stanza time_parser (helper/time.go:74-123): format → strptime parse
+    round-trip, returned as epoch micros."""
+    df = _t(spark, sf_dir, "events").withColumn(
+        "ts_str", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    )
+    df = parsers.time_parser(df, "ts_str", "t2", "%Y-%m-%dT%H:%M:%S.%f")
+    return df.select("event_id", F.unix_micros("t2").alias("epoch_us"))
+
+
+SQL_TIME_PARSER = """
+SELECT event_id, epoch_us(ts) AS epoch_us FROM events
+"""
+
+
+# ------------------------------------------------------------- transform/ottl
+
+def q_transform_set_where(spark, sf_dir):
+    """transformprocessor statement: set(tag, Upper(event_type)) where
+    value > 100 (OTTL set editor + where condition)."""
+    df = _t(spark, sf_dir, "events")
+    df = df.withColumn(
+        "tag", F.when(F.col("value") > 100, F.upper("event_type")).otherwise(F.lit(None))
+    )
+    return df.select("event_id", "tag")
+
+
+SQL_TRANSFORM_SET_WHERE = """
+SELECT event_id, CASE WHEN value > 100 THEN upper(event_type) END AS tag FROM events
+"""
+
+
+def q_filter_processor(spark, sf_dir):
+    """filterprocessor (logs.go:98-162): drop where ANY condition matches."""
+    df = _t(spark, sf_dir, "events")
+    kept, _ = processors.filter_processor(
+        df, [F.col("event_type") == "click", F.col("value") < 10]
+    )
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_FILTER_PROCESSOR = """
+SELECT event_type, count(*) AS n FROM events
+WHERE NOT (event_type = 'click' OR value < 10)
+GROUP BY event_type
+"""
+
+
+def q_attributes_hash(spark, sf_dir):
+    """attributesprocessor hash action (attraction.go:116-144, SHA-256)."""
+    df = _t(spark, sf_dir, "customer").select("c_custkey", F.col("c_name").alias("c_hash"))
+    df = processors.attributes_actions(df, [{"action": "hash", "key": "c_hash"}])
+    return df.select("c_custkey", "c_hash")
+
+
+SQL_ATTRIBUTES_HASH = """
+SELECT c_custkey, sha256(c_name) AS c_hash FROM customer
+"""
+
+
+def q_probabilistic_sampler(spark, sf_dir):
+    """probabilisticsampler (logsprocessor.go:39-117): deterministic
+    hash-based keep decision — md5-prefix arithmetic expressible in both
+    engines (the production operator uses xxhash64; this query proves the
+    consistent-decision property with a portable hash)."""
+    df = _t(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    v = (F.instr(F.lit(HEX), F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(HEX), F.substring(h, 2, 1)) - 1
+    )
+    return df.filter(v < 64).select("event_id")  # 25% consistent sample
+
+
+SQL_PROBABILISTIC_SAMPLER = """
+SELECT event_id FROM events
+WHERE (instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 16
+    + (instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1) < 64
+"""
+
+
+def q_unroll_explode(spark, sf_dir):
+    """unrollprocessor (processor.go:31-71): explode a slice field."""
+    df = _t(spark, sf_dir, "documents")
+    words = F.slice(F.split(F.col("text"), r"\s+"), 1, 5)
+    df = df.withColumn("word", words)
+    df = processors.unroll(df, "word")
+    return df.select("doc_id", "word")
+
+
+SQL_UNROLL_EXPLODE = r"""
+SELECT doc_id, unnest(list_slice(string_split_regex(text, '\s+'), 1, 5)) AS word
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------- routing
+
+def q_router_first_match(spark, sf_dir):
+    """routingconnector move semantics (logs.go:64-173): ordered when-chain,
+    first match wins, leftovers → default."""
+    df = _t(spark, sf_dir, "events")
+    routed = connectors.routed_frame(
+        df,
+        [
+            connectors.Route("sink_errors", F.col("event_type") == "error"),
+            connectors.Route("sink_big", F.col("value") > 150),
+            connectors.Route("sink_signup", F.col("event_type") == "signup"),
+        ],
+    )
+    return routed.select("event_id", "route_id")
+
+
+SQL_ROUTER_FIRST_MATCH = """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 'sink_errors'
+            WHEN value > 150 THEN 'sink_big'
+            WHEN event_type = 'signup' THEN 'sink_signup'
+            ELSE 'default' END AS route_id
+FROM events
+"""
+
+
+def q_count_connector(spark, sf_dir):
+    """countconnector (counter.go:39-127): OR'd conditions + dimension attrs,
+    per-dimension counts."""
+    df = _t(spark, sf_dir, "events")
+    out = connectors.count_connector(
+        df,
+        [
+            connectors.CountMetric(
+                name="event.count",
+                conditions=[F.col("value") >= 100, F.col("event_type") == "error"],
+                dimensions=["event_type"],
+            )
+        ],
+    )
+    return out["event.count"].select("event_type", F.col("count").alias("n")).withColumnRenamed("n", "n")
+
+
+SQL_COUNT_CONNECTOR = """
+SELECT event_type, count(*) AS n FROM events
+WHERE value >= 100 OR event_type = 'error'
+GROUP BY event_type
+"""
+
+
+def q_sum_connector(spark, sf_dir):
+    """sumconnector (config.go:32-34): sum numeric attr per dims (decimal for
+    cross-engine exactness)."""
+    df = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = connectors.sum_connector(df, "value_dec", ["event_type"], name="total")
+    return out.select("event_type", F.col("total").cast("decimal(18,2)").alias("total"))
+
+
+SQL_SUM_CONNECTOR = """
+SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------- aggregates
+
+def q_logdedup_window(spark, sf_dir):
+    """logdedupprocessor (processor.go:163-301): tumbling-interval dedup with
+    count + first/last observed timestamps."""
+    # parquet TIMESTAMP_NTZ → TIMESTAMP (session TZ is pinned UTC, so the
+    # wall-time interpretation matches DuckDB's naive epoch())
+    df = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = dedup.log_dedup(df, ["user_id", "event_type"], ts_col="ts", interval="10 minutes")
+    return out.select(
+        F.unix_timestamp("window_start").alias("win_start"),
+        "user_id",
+        "event_type",
+        "log_count",
+        F.unix_micros("first_observed_timestamp").alias("first_us"),
+        F.unix_micros("last_observed_timestamp").alias("last_us"),
+    )
+
+
+SQL_LOGDEDUP_WINDOW = """
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+       user_id, event_type,
+       count(*) AS log_count,
+       min(epoch_us(ts)) AS first_us,
+       max(epoch_us(ts)) AS last_us
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_recombine_sessionize(spark, sf_dir):
+    """stanza recombine (recombine/config.go:40-62): is_first_entry
+    sessionization, ordered merge of the combine field."""
+    df = _t(spark, sf_dir, "events")
+    out = transformers.recombine(
+        df,
+        is_first_entry=F.col("event_type") == "signup",
+        source_col="user_id",
+        order_col="event_id",
+        combine_field="event_type",
+        combine_with=",",
+        max_batch_size=1_000_000,
+    )
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("body"),
+        F.col("event_id").alias("first_event"),
+        F.col("recombined_n").alias("n_events"),
+    )
+
+
+SQL_RECOMBINE_SESSIONIZE = """
+WITH s AS (
+  SELECT user_id, event_id, event_type,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY event_id) AS session_id
+  FROM events
+)
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY event_id) AS body,
+       min(event_id) AS first_event,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# -------------------------------------------------------------------- enrich
+
+def q_enrich_broadcast_chain(spark, sf_dir):
+    """k8sattributes-style chained broadcast lookups
+    (k8sattributesprocessor/processor.go:182-285): fact → supplier → nation
+    → region, then per-region accounting."""
+    from ..operators.enrich import broadcast_lookup
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name", "n_regionkey"
+    )
+    reg = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    df = broadcast_lookup(li, sup, "l_suppkey")
+    df = broadcast_lookup(df, nat, "s_nationkey")
+    df = broadcast_lookup(df, reg, "n_regionkey")
+    return df.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("revenue"),
+    )
+
+
+SQL_ENRICH_BROADCAST_CHAIN = """
+SELECT r_name, count(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+FROM lineitem
+LEFT JOIN supplier ON l_suppkey = s_suppkey
+LEFT JOIN nation ON s_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    """Hash-agg accounting (countconnector/batch accounting analog): TPC-H
+    Q1-shaped pricing summary with decimal exactness."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------- training-data dedup
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy, keep lowest doc_id per content hash."""
+    df = _t(spark, sf_dir, "documents")
+    return (
+        df.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over the whitespace-normalized lowered
+    prefix (rolling-hash analog, portable across engines)."""
+    df = _t(spark, sf_dir, "documents")
+    norm = F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 128)
+    return df.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id, md5(substr(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 128)) AS fingerprint
+FROM documents
+"""
+
+
+# ------------------------------------------------------------- text analysis
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: token count, punctuation count, alpha ratio."""
+    df = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    return df.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[.,!?;]"), 0)).alias("n_punct"),
+        F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).alias("n_alpha"),
+        F.length("text").alias("n_chars_seen"),
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+SELECT doc_id,
+       len(string_split_regex(text, '\s+')) AS n_words,
+       len(regexp_extract_all(text, '[.,!?;]')) AS n_punct,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       length(text) AS n_chars_seen
+FROM documents
+"""
+
+
+def q_lang_id_stopword(spark, sf_dir):
+    """Language-ID heuristic: per-language english stopword hit counts."""
+    df = _t(spark, sf_dir, "documents")
+    pad = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    hits = sum(
+        F.size(F.regexp_extract_all(pad, F.lit(f" {w} "), 0)) for w in ["the", "and", "of"]
+    )
+    return (
+        df.withColumn("hits", hits)
+        .groupBy("lang")
+        .agg(F.sum("hits").alias("stopword_hits"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_LANG_ID_STOPWORD = """
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(' ' || lower(text) || ' ', ' the '))
+         + len(regexp_extract_all(' ' || lower(text) || ' ', ' and '))
+         + len(regexp_extract_all(' ' || lower(text) || ' ', ' of '))) AS BIGINT) AS stopword_hits,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex tokens per doc."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias("re_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(string_split_regex(text, '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS re_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- similarity
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 query vector (ANN baseline).
+
+    F.zip_with/F.aggregate keep the arithmetic JVM-side; floats widen to
+    double exactly so both engines agree to ~1e-15 (rounded to 4)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qcol = F.array(*[F.lit(float(v)) for v in q])
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    scored = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", _cosine(vec, qcol).alias("cos_raw")
+    )
+    return (
+        scored.orderBy(F.desc("cos_raw"), "vec_id")
+        .limit(20)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[])), 4) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[])) DESC, vec_id
+LIMIT 20
+"""
+
+
+# ------------------------------------------------- non-SQL-expressible (rows-only)
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (rows-only check: xxhash64-based
+    signatures have no DuckDB equivalent; semantics are pytest-verified
+    against a brute-force Jaccard oracle in tests/test_dedup.py)."""
+    df = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash 64-bit signatures (rows-only; xxhash64-based)."""
+    df = _t(spark, sf_dir, "documents").limit(2000)
+    return df.select("doc_id", dedup.simhash(F.col("text")).alias("simhash64"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate NN: random-hyperplane LSH bucket probe then exact cosine
+    on candidates (rows-only: bucket membership isn't SQL-expressible; recall
+    vs brute force is pytest-verified in tests/test_dedup_similarity.py)."""
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.lsh_topk(emb.filter(F.col("vec_id") != 0), list(q), k=20, bits=12, bands=4)
+
+
+def q_embedding_dedup_pairs(spark, sf_dir):
+    """Embedding near-duplicate pairs via LSH band join + cosine verify
+    (rows-only)."""
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings").limit(1000)
+    return similarity.all_pairs_above(emb, threshold=0.95, bits=16, bands=8)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (equi-join candidate generation).
+
+    SQL-expressible in principle but the gram-explode self-join oracle is
+    prohibitively slow in DuckDB at sf0.1; pytest verifies vs brute force."""
+    df = _t(spark, sf_dir, "documents").limit(1500)
+    return dedup.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.4)
+
+
+QUERIES = {
+    "regex_parser": q_regex_parser,
+    "json_parser": q_json_parser,
+    "keyvalue_parser": q_keyvalue_parser,
+    "severity_parser": q_severity_parser,
+    "time_parser": q_time_parser,
+    "transform_set_where": q_transform_set_where,
+    "filter_processor": q_filter_processor,
+    "attributes_hash": q_attributes_hash,
+    "probabilistic_sampler": q_probabilistic_sampler,
+    "unroll_explode": q_unroll_explode,
+    "router_first_match": q_router_first_match,
+    "count_connector": q_count_connector,
+    "sum_connector": q_sum_connector,
+    "logdedup_window": q_logdedup_window,
+    "recombine_sessionize": q_recombine_sessionize,
+    "enrich_broadcast_chain": q_enrich_broadcast_chain,
+    "tpch_q1_pricing": q_tpch_q1_pricing,
+    "exact_dedup": q_exact_dedup,
+    "doc_fingerprint": q_doc_fingerprint,
+    "text_quality": q_text_quality,
+    "lang_id_stopword": q_lang_id_stopword,
+    "token_count": q_token_count,
+    "cosine_topk": q_cosine_topk,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_dedup_pairs": q_embedding_dedup_pairs,
+}
+
+ORACLES = {
+    "regex_parser": SQL_REGEX_PARSER,
+    "json_parser": SQL_JSON_PARSER,
+    "keyvalue_parser": SQL_KEYVALUE_PARSER,
+    "severity_parser": SQL_SEVERITY_PARSER,
+    "time_parser": SQL_TIME_PARSER,
+    "transform_set_where": SQL_TRANSFORM_SET_WHERE,
+    "filter_processor": SQL_FILTER_PROCESSOR,
+    "attributes_hash": SQL_ATTRIBUTES_HASH,
+    "probabilistic_sampler": SQL_PROBABILISTIC_SAMPLER,
+    "unroll_explode": SQL_UNROLL_EXPLODE,
+    "router_first_match": SQL_ROUTER_FIRST_MATCH,
+    "count_connector": SQL_COUNT_CONNECTOR,
+    "sum_connector": SQL_SUM_CONNECTOR,
+    "logdedup_window": SQL_LOGDEDUP_WINDOW,
+    "recombine_sessionize": SQL_RECOMBINE_SESSIONIZE,
+    "enrich_broadcast_chain": SQL_ENRICH_BROADCAST_CHAIN,
+    "tpch_q1_pricing": SQL_TPCH_Q1_PRICING,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id_stopword": SQL_LANG_ID_STOPWORD,
+    "token_count": SQL_TOKEN_COUNT,
+    "cosine_topk": SQL_COSINE_TOPK,
+    # minhash_lsh / simhash / ngram_jaccard: intentionally no oracle —
+    # xxhash64-based, verified in tests/test_dedup.py instead.
+}

@@ -146,7 +146,9 @@ def generate_tokens_table(n: int, seed: int = 42) -> pa.Table:
     return _lines_to_arrow(lines, src_idx)
 
 
-def write_tokens_parquet(path: str, n: int, seed: int = 42, chunk: int = 1_000_000) -> str:
+def write_tokens_parquet(
+    path: str, n: int, seed: int = 42, chunk: int = 250_000, row_group_size: int = 32_768
+) -> str:
     """Materialize the synthetic table to parquet, chunked so memory stays flat.
 
     Each chunk is generated with seed+chunk_index — deterministic for a given
@@ -162,7 +164,11 @@ def write_tokens_parquet(path: str, n: int, seed: int = 42, chunk: int = 1_000_0
     while start < n:
         m = min(chunk, n - start)
         tbl = generate_tokens_table(m, seed + i)
-        pq.write_table(tbl, os.path.join(path, f"part-{i:05d}.parquet"))
+        # small row groups keep the files splittable — a single giant row
+        # group caps scan parallelism at file count regardless of cores
+        pq.write_table(
+            tbl, os.path.join(path, f"part-{i:05d}.parquet"), row_group_size=row_group_size
+        )
         start += m
         i += 1
     with open(done, "w"):

@@ -1,0 +1,132 @@
+"""Structured Streaming variants of the pipeline stages.
+
+The collector is natively a streaming system (poll → parse → consume with
+at-least-once checkpoints); this module re-expresses the same stages on
+Spark Structured Streaming:
+
+- source: ``readStream`` over the tokens table directory (file source —
+  the filelog receiver's poll loop ``fileconsumer/file.go:114-131`` becomes
+  Spark's file-source listing + ``checkpointLocation`` offsets, the exact
+  analog of the per-file offset checkpoints in
+  ``internal/checkpoint/checkpoint.go:24-44``)
+- stages: parse / enrich / route are the SAME stage functions as batch —
+  they are shuffle-free narrow transformations, legal in streaming
+- sinks: ``foreachBatch`` writes routed parquet + counters per micro-batch
+  (the batch processor's send_batch_size/timeout ⇒ trigger interval)
+- aggregates: logdedup over event-time tumbling windows with a watermark
+  (``withWatermark`` bounds state; the reference has no watermark concept —
+  it processes by arrival — so the watermark only gates state eviction)
+- ``availableNow`` trigger = "drain the backlog then stop", the streaming
+  equivalent of the reference's one-shot file read
+  (``testbed TestLargeFileOnce``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import connectors
+from ..plans import pipeline as pl
+from ..sources.tokens import TOKENS_SCHEMA
+
+
+def read_tokens_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(TOKENS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def streaming_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """parse→enrich→route→write as a micro-batch stream; returns the query.
+
+    Restart-safe: the checkpoint dir holds source offsets + sink commit log,
+    so a killed run resumes from the last committed micro-batch — the
+    behavioral contract of the reference's storage-extension checkpoints.
+    """
+    raw = read_tokens_stream(spark, input_path, max_files_per_trigger)
+    parsed = pl.parse_stage(raw)
+    enriched = pl.enrich_stage(spark, parsed)
+    routed = connectors.routed_frame(enriched, pl.default_routes())
+    routed = routed.withColumn(
+        "route_id", F.when(F.col("_parse_error"), "_errors").otherwise(F.col("route_id"))
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy("route_id").parquet(
+            os.path.join(out_dir, "routed")
+        )
+        (
+            batch_df.filter(F.col("route_id") != "_errors")
+            .groupBy("route_id", "severity_text")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(os.path.join(out_dir, "counts"))
+        )
+
+    writer = (
+        routed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_logdedup(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    interval: str = "10 seconds",
+    watermark: str = "30 seconds",
+):
+    """logdedupprocessor in streaming form: tumbling-window counts per key
+    with bounded state (processor.go:163-301; interval ⇒ window, the
+    MaxStale-ish bound ⇒ watermark)."""
+    raw = read_tokens_stream(spark, input_path)
+    parsed = pl.parse_stage(raw)
+    agg = (
+        parsed.filter(~F.col("_parse_error"))
+        .withWatermark("observed_timestamp", watermark)
+        .groupBy(
+            F.window("observed_timestamp", interval).alias("w"),
+            "source",
+            "severity_number",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("log_count"),
+            F.min("observed_timestamp").alias("first_observed_timestamp"),
+            F.max("observed_timestamp").alias("last_observed_timestamp"),
+        )
+        .select(F.col("w.start").alias("window_start"), "source", "severity_number",
+                "log_count", "first_observed_timestamp", "last_observed_timestamp")
+    )
+    # update-mode foreachBatch: append-mode would hold the final windows in
+    # state forever (the watermark never advances past end-of-stream under
+    # availableNow); update emits every changed window per micro-batch with a
+    # batch_id, the reader takes the latest per window — the same
+    # emit-on-interval behavior as the reference's dedup ticker
+    # (processor.go:163-187).
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            os.path.join(out_dir, "dedup")
+        )
+
+    return (
+        agg.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_ck_dedup"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,139 @@
+"""Dedup family + similarity search: semantics vs brute-force oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "pack my box with five dozen liquor jugs before the night ends here",
+        "sphinx of black quartz judge my vow while the world keeps spinning",
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        for _ in range(3):  # exact dups
+            rows.append((i, b)); i += 1
+        # near dup: one word changed
+        rows.append((i, b.replace("the", "a", 1))); i += 1
+    rows.append((i, "completely different text with no overlap whatsoever in words")); i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def brute_jaccard(a: str, b: str, k: int) -> float:
+    def sh(s):
+        w = s.lower().split()
+        return {" ".join(w[j : j + k]) for j in range(max(len(w) - k + 1, 1))}
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_exact_dedup_keeps_one_per_text(spark, docs):
+    out = dedup.exact_dedup(docs, "text", "doc_id")
+    texts = [r.text for r in out.collect()]
+    assert len(texts) == len(set(texts)) == 7  # 3 bases + 3 near + 1 unique
+    # lowest id kept
+    kept = {r.doc_id for r in out.collect()}
+    assert {0, 4, 8} <= kept
+
+
+def test_minhash_lsh_finds_dup_clusters(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=16, k_shingle=3, jaccard_threshold=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # every exact-dup pair within a cluster must surface
+    for base in (0, 4, 8):
+        for a in range(base, base + 3):
+            for b in range(a + 1, base + 3):
+                assert (a, b) in got, (a, b)
+    # the unrelated doc pairs with nothing
+    assert not any(12 in p for p in got)
+
+
+def test_minhash_estimates_track_true_jaccard(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=32, k_shingle=3, jaccard_threshold=0.3
+    ).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in pairs:
+        true_j = brute_jaccard(texts[r.id_a], texts[r.id_b], 3)
+        assert abs(r.jaccard_est - true_j) < 0.35, (r.id_a, r.id_b, r.jaccard_est, true_j)
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert pairs
+    for r in pairs:
+        true_j = brute_jaccard(texts[r.id_a], texts[r.id_b], 3)
+        assert abs(r.jaccard - true_j) < 1e-4  # operator rounds to 4 decimals
+
+
+def test_simhash_identical_texts_same_hash(spark, docs):
+    out = dedup.simhash(F.col("text"))
+    rows = docs.select("doc_id", out.alias("h")).collect()
+    h = {r.doc_id: r.h for r in rows}
+    assert h[0] == h[1] == h[2]
+    # near-dup differs in few bits
+    diff = bin((h[0] ^ h[3]) & ((1 << 64) - 1)).count("1")
+    assert diff <= 16
+    far = bin((h[0] ^ h[12]) & ((1 << 64) - 1)).count("1")
+    assert far > diff
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # near-duplicate of each: tiny noise
+        rows.append((100 + i, [float(x) for x in v + rng.standard_normal(16) * 0.01]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_exact(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0).first().embedding
+    top = similarity.brute_force_topk(vectors, list(q), k=2).collect()
+    assert top[0].vec_id == 0 and abs(top[0].cos_sim - 1.0) < 1e-9
+    assert top[1].vec_id == 100  # its near-duplicate
+
+
+def test_lsh_topk_finds_near_neighbor(spark, vectors):
+    q = list(vectors.filter(F.col("vec_id") == 0).first().embedding)
+    top = similarity.lsh_topk(vectors, q, k=2, bits=12, bands=4).collect()
+    ids = [r.vec_id for r in top]
+    assert 0 in ids and 100 in ids
+
+
+def test_all_pairs_above_finds_duplicate_pairs(spark, vectors):
+    pairs = similarity.all_pairs_above(vectors, threshold=0.99, bits=16, bands=8).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    hits = sum((i, 100 + i) in got for i in range(20))
+    assert hits >= 16  # high recall on 0.9999-sim pairs
+    for r in pairs:
+        assert r.cos_sim >= 0.99
+
+
+def test_multimodal_plumbing(spark):
+    from opentelemetry_collector_contrib_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, 30)
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == 30 and all(len(r.features) == 8 for r in feats)
+    # deterministic: same payload → same features
+    again = {r.doc_id: r.features for r in mm.extract_features(media).collect()}
+    for r in feats:
+        assert again[r.doc_id] == r.features
+    frames = mm.sample_video_frames(media, every_ms=1000)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 3 for r in per_doc)  # 3000ms / 1000ms
+    resized = mm.resize_images(media, 32, 32).collect()
+    assert all(r.meta.width == 32 for r in resized)

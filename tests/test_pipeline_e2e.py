@@ -157,6 +157,7 @@ def test_run_pipeline_and_resume(spark, tokens_path, tmp_path):
     # resume: second run is a lineage no-op returning identical metrics
     m2 = pl.run_pipeline(spark, tokens_path, out)
     assert m2 == m1
-    # routed parquet partitioned by route_id exists
+    # routed parquet partitioned by route_id exists; _errors is a partition
     routed = spark.read.parquet(str(tmp_path / "out" / "routed"))
-    assert routed.count() == m1["rows_routed"]
+    assert routed.count() == m1["rows_routed"] + m1["rows_errors"]
+    assert routed.filter(F.col("route_id") == "_errors").count() == m1["rows_errors"]

@@ -1,0 +1,67 @@
+"""Streaming pipeline: availableNow drain produces batch-identical results,
+and a restart resumes from the checkpoint without duplicating output."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.sources.tokens import write_tokens_parquet
+from opentelemetry_collector_contrib_spark.streaming.stream import (
+    streaming_logdedup,
+    streaming_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_input(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream") / "tokens")
+    write_tokens_parquet(p, n=3000, seed=7, chunk=1000)
+    return p
+
+
+def test_streaming_matches_batch(spark, stream_input, tmp_path):
+    out = str(tmp_path / "sout")
+    q = streaming_pipeline(spark, stream_input, out, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    from opentelemetry_collector_contrib_spark.plans import pipeline as pl
+    from opentelemetry_collector_contrib_spark.operators import connectors
+    from opentelemetry_collector_contrib_spark.sources import tokens as tok
+
+    raw = tok.read_tokens(spark, stream_input)
+    enriched = pl.enrich_stage(spark, pl.parse_stage(raw))
+    routed = connectors.routed_frame(enriched, pl.default_routes())
+    routed = routed.withColumn(
+        "route_id", F.when(F.col("_parse_error"), "_errors").otherwise(F.col("route_id"))
+    )
+    want = {(r.doc_id, r.route_id) for r in routed.select("doc_id", "route_id").collect()}
+    got_df = spark.read.parquet(out + "/routed")
+    got = {(r.doc_id, r.route_id) for r in got_df.select("doc_id", "route_id").collect()}
+    assert got == want
+    # counts table: per-batch partial counts sum to batch totals
+    counts = spark.read.parquet(out + "/counts")
+    total = counts.agg(F.sum("count")).first()[0]
+    assert total == routed.filter(F.col("route_id") != "_errors").count()
+
+
+def test_streaming_restart_is_idempotent(spark, stream_input, tmp_path):
+    out = str(tmp_path / "sout2")
+    q = streaming_pipeline(spark, stream_input, out, available_now=True)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(out + "/routed").count()
+    # restart with same checkpoint: no new input ⇒ no new output
+    q2 = streaming_pipeline(spark, stream_input, out, available_now=True)
+    q2.awaitTermination(300)
+    n2 = spark.read.parquet(out + "/routed").count()
+    assert n1 == n2 == 3000
+
+
+def test_streaming_logdedup_windows(spark, stream_input, tmp_path):
+    out = str(tmp_path / "sout3")
+    q = streaming_logdedup(spark, stream_input, out, interval="10 seconds")
+    q.awaitTermination(300)
+    dd = spark.read.parquet(out + "/dedup")
+    assert dd.count() > 0
+    assert dd.filter(F.col("log_count") <= 0).count() == 0
+    # windows align to 10s boundaries
+    mis = dd.filter(F.unix_timestamp("window_start") % 10 != 0).count()
+    assert mis == 0
