@@ -1,0 +1,81 @@
+"""Metric-point algebra processors.
+
+Reference: the metrics family in SURVEY §2.5 —
+``processor/cumulativetodeltaprocessor/processor.go:93-116`` (per-series
+value - previous value), ``processor/deltatocumulativeprocessor/
+processor.go:74,188-200`` (running sum per series, MaxStale eviction),
+``processor/deltatorateprocessor`` (delta / time delta), and
+``processor/intervalprocessor/processor.go:47-121`` (periodic re-emit of
+the last point per interval).
+
+Batch form: ranking/analytic window functions per series key — the ONLY
+order-sensitive operators in the engine besides recombine. The window
+shuffle partitions by series key; at 10^12 scale series cardinality ≫
+cores so the shuffle is well-spread (skew: one hot series is capped by
+per-series data volume, not row count × key count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cumulative_to_delta(
+    df: DataFrame, key_cols: list[str], ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Per-series delta: value - lag(value); first point in a series is
+    dropped (the reference can't produce a delta without a predecessor,
+    processor.go:93-116)."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    return (
+        df.withColumn("_prev", F.lag(value_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .withColumn("delta", F.col(value_col) - F.col("_prev"))
+        .drop("_prev")
+    )
+
+
+def delta_to_cumulative(
+    df: DataFrame, key_cols: list[str], ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Per-series running sum (processor.go:188-200)."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("cumulative", F.sum(value_col).over(w))
+
+
+def delta_to_rate(
+    df: DataFrame, key_cols: list[str], ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """delta / seconds-since-previous-point (deltatorateprocessor)."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    dt = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        F.lag(F.col(ts_col).cast("timestamp")).over(w)
+    )
+    return (
+        df.withColumn("_dt_us", dt)
+        .filter(F.col("_dt_us").isNotNull() & (F.col("_dt_us") > 0))
+        .withColumn("rate_per_s", F.col(value_col) / (F.col("_dt_us") / 1_000_000.0))
+        .drop("_dt_us")
+    )
+
+
+def interval_last(
+    df: DataFrame, key_cols: list[str], ts_col: str = "ts", value_col: str = "value",
+    interval: str = "60 seconds",
+) -> DataFrame:
+    """intervalprocessor: one point per (series, interval) — the LAST seen.
+
+    processor.go:47-121 keeps the latest point per series and flushes on a
+    ticker; batch form = max_by(value, ts) per tumbling window.
+    """
+    return (
+        df.groupBy(F.window(F.col(ts_col).cast("timestamp"), interval).alias("w"), *key_cols)
+        .agg(
+            F.max_by(value_col, ts_col).alias("last_value"),
+            F.max(ts_col).alias("last_ts"),
+            F.count(F.lit(1)).alias("points_merged"),
+        )
+        .withColumn("window_start", F.col("w.start"))
+        .drop("w")
+    )

