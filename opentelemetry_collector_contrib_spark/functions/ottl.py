@@ -351,7 +351,8 @@ def build_registry(error_mode: str = "ignore") -> dict:
         "Len": lambda c: F.when(F.lit(True), _len_col(c)),
         # regex
         "IsMatch": lambda c, pat: c.rlike(_jre(pat)),
-        "ExtractPatterns": None,  # handled specially (multi-column)
+        "ExtractPatterns": lambda c, pat: _extract_patterns(c, _as_py(pat)),
+        "ExtractGrokPatterns": lambda c, pat: _extract_grok(c, _as_py(pat)),
         # hash / ids
         "MD5": lambda c: F.md5(c.cast("string")),
         "SHA1": lambda c: F.sha1(c.cast("string")),
@@ -377,10 +378,17 @@ def build_registry(error_mode: str = "ignore") -> dict:
         "Year": F.year,
         "Weekday": lambda c: F.dayofweek(c) - 1,
         # structured
-        "ParseJSON": None,  # needs schema arg: ParseJSON(col) → variant-ish; special
-        "ParseCSV": None,
+        # ParseJSON: 1-arg form → flat map<string,string> (the dynamic-body
+        # common case); 2-arg form takes a DDL schema for typed extraction.
+        "ParseJSON": lambda c, schema="map<string,string>": F.from_json(c, _as_py(schema) if not isinstance(schema, Column) else "map<string,string>"),
+        "ParseCSV": lambda c, header: F.from_csv(c, ", ".join(f"`{h}` string" for h in _as_py(header).split(","))),
         "ParseKeyValue": lambda c, d="=", p=" ": F.str_to_map(c, F.lit(_as_py(p)), F.lit(_as_py(d))),
-        "ParseSeverity": None,  # severity_parser operator
+        "URL": lambda c: F.struct(
+            F.parse_url(c, F.lit("PROTOCOL")).alias("scheme"),
+            F.parse_url(c, F.lit("HOST")).alias("host"),
+            F.parse_url(c, F.lit("PATH")).alias("path"),
+            F.parse_url(c, F.lit("QUERY")).alias("query"),
+        ),
         # collections
         "Keys": F.map_keys,
         "Values": F.map_values,
@@ -392,9 +400,77 @@ def build_registry(error_mode: str = "ignore") -> dict:
         "Base64Decode": lambda c: F.unbase64(c).cast("string"),
         "Log": lambda c: F.log(c),
         "UUID": lambda: F.uuid(),
-        "IsInCidr": None,
+        "IsInCidr": lambda c, cidr: _is_in_cidr(c, _as_py(cidr)),
+        # casing
+        "ToSnakeCase": lambda c: F.lower(F.regexp_replace(F.regexp_replace(c, r"([a-z0-9])([A-Z])", r"$1_$2"), r"[\s-]+", "_")),
+        "ToCamelCase": lambda c: _to_camel(c),
+        "ConvertCase": lambda c, mode: _convert_case(c, _as_py(mode)),
     }
     return reg
+
+
+def _extract_patterns(c: Column, pattern: str) -> Column:
+    """ExtractPatterns: named groups → map<group, match>
+    (func_extract_patterns.go)."""
+    import re as _re2
+
+    from ..operators.parsers import java_regex
+
+    groups = list(_re2.compile(pattern).groupindex.keys())
+    jpat = java_regex(pattern)
+    return F.map_from_arrays(
+        F.array(*[F.lit(g) for g in groups]),
+        F.array(*[F.regexp_extract(c, jpat, i) for i in range(1, len(groups) + 1)]),
+    )
+
+
+def _extract_grok(c: Column, pattern: str) -> Column:
+    """ExtractGrokPatterns: grok expand at compile time, then same shape."""
+    from .grok import expand_grok
+
+    rx, _types = expand_grok(pattern)
+    return _extract_patterns(c, rx)
+
+
+def _is_in_cidr(c: Column, cidr: str) -> Column:
+    """IsInCidr(ip_col, 'a.b.c.d/n') — pure bitwise Column math (IPv4)."""
+    net, bits = cidr.split("/")
+    bits = int(bits)
+    parts = [int(x) for x in net.split(".")]
+    net_int = (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
+    mask = ((1 << bits) - 1) << (32 - bits) if bits else 0
+    sp = F.split(c, r"\.")
+    ip_int = (
+        sp[0].cast("long") * 16777216
+        + sp[1].cast("long") * 65536
+        + sp[2].cast("long") * 256
+        + sp[3].cast("long")
+    )
+    return ip_int.bitwiseAND(F.lit(mask)) == F.lit(net_int & mask)
+
+
+def _to_camel(c: Column) -> Column:
+    """PascalCase preserving inner capitals (strcase.ToCamel semantics):
+    upper-case each separator-delimited word's first letter, keep the rest."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.split(c, r"[_\s-]+"),
+            lambda w: F.concat(F.upper(F.substring(w, 1, 1)), F.substring(w, 2, 1_000_000)),
+        ),
+    )
+
+
+def _convert_case(c: Column, mode: str) -> Column:
+    if mode == "lower":
+        return F.lower(c)
+    if mode == "upper":
+        return F.upper(c)
+    if mode == "snake":
+        return F.lower(F.regexp_replace(F.regexp_replace(c, r"([a-z0-9])([A-Z])", r"$1_$2"), r"[\s-]+", "_"))
+    if mode == "camel":
+        return _to_camel(c)
+    raise ValueError(f"unknown case mode {mode!r}")
 
 
 def _as_py(v):
@@ -444,6 +520,12 @@ LITERAL_ARG_POSITIONS: dict[str, frozenset[int]] = {
     "ParseKeyValue": frozenset([1, 2]),
     "Sort": frozenset([1]),
     "Index": frozenset([1]),
+    "ExtractPatterns": frozenset([1]),
+    "ExtractGrokPatterns": frozenset([1]),
+    "IsInCidr": frozenset([1]),
+    "ConvertCase": frozenset([1]),
+    "ParseJSON": frozenset([1]),
+    "ParseCSV": frozenset([1]),
 }
 
 
@@ -589,6 +671,35 @@ class Compiler:
             col = F.col(target)
             keep = F.slice(F.array_sort(F.map_keys(col)), 1, n)
             return guarded(target, F.map_filter(col, lambda k, v: F.array_contains(keep, k)))
+        if name == "merge_maps":
+            # func_merge_maps.go: strategy ∈ upsert/insert/update
+            target = self.resolver.column_name(ed.args[0])
+            src = self._as_col(self.compile_value(ed.args[1]))
+            strategy = _as_py(self.compile_value(ed.args[2])) if len(ed.args) > 2 else "upsert"
+            tgt = F.col(target)
+            if strategy == "upsert":
+                new = F.map_concat(
+                    F.map_filter(tgt, lambda k, v: ~F.array_contains(F.map_keys(src), k)), src
+                )
+            elif strategy == "insert":
+                new = F.map_concat(
+                    tgt, F.map_filter(src, lambda k, v: ~F.array_contains(F.map_keys(tgt), k))
+                )
+            elif strategy == "update":
+                new = F.transform_values(tgt, lambda k, v: F.coalesce(F.element_at(src, k), v))
+            else:
+                raise ValueError(f"unknown merge_maps strategy {strategy!r}")
+            return guarded(target, new)
+        if name == "stringify_all":
+            # func_stringify_all.go: every map value → string (no-op on
+            # map<string,string>; meaningful for typed-value maps)
+            target = self.resolver.column_name(ed.args[0])
+            return guarded(target, F.transform_values(F.col(target), lambda k, v: v.cast("string")))
+        if name == "flatten":
+            # func_flatten.go: promote a struct column's fields one level
+            target = self.resolver.column_name(ed.args[0])
+            others = [c for c in df.columns if c != target]
+            return df.select(*others, f"{target}.*")
         if name == "append":
             target = self.resolver.column_name(ed.args[0])
             vals = [self._as_col(self.compile_value(a)) for a in ed.args[1:]]

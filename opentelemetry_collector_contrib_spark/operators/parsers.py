@@ -259,6 +259,52 @@ def uri_parser(df: DataFrame, parse_from: str, prefix: str = "uri_") -> DataFram
     )
 
 
+# --- syslog parser (RFC3164 / RFC5424) ---------------------------------------
+# Reference: pkg/stanza/operator/parser/syslog/parser.go:115, config.go:22-23.
+_RFC3164_RE = (
+    r"^<(?P<priority>\d{1,3})>(?P<ts>[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) "
+    r"(?P<hostname>\S+) (?P<appname>[^:\[ ]+)(?:\[(?P<pid>\d+)\])?: ?(?P<message>.*)$"
+)
+_RFC5424_RE = (
+    r"^<(?P<priority>\d{1,3})>(?P<version>\d) (?P<ts>\S+) (?P<hostname>\S+) "
+    r"(?P<appname>\S+) (?P<procid>\S+) (?P<msgid>\S+) "
+    r"(?P<structured>-|\[.*?\]) ?(?P<message>.*)$"
+)
+
+
+def syslog_parser(
+    df: DataFrame, parse_from: str = "body", protocol: str = "rfc5424", on_error: str = "send"
+) -> DataFrame:
+    """RFC3164 / RFC5424 syslog parse with severity/facility from PRI.
+
+    severity = priority % 8 (syslog severity 0-7, mapped to the stanza enum:
+    0 Emergency→23, 1 Alert→22, 2 Crit→21, 3 Error→17, 4 Warning→13,
+    5 Notice→10, 6 Info→9, 7 Debug→5 — severity_builder.go's syslog table),
+    facility = priority / 8.
+    """
+    pat = _RFC5424_RE if protocol == "rfc5424" else _RFC3164_RE
+    df = regex_parser(df, pat, parse_from=parse_from, on_error=on_error)
+    pri = F.col("priority").try_cast("int")
+    sev_map = [23, 22, 21, 17, 13, 10, 9, 5]
+    sev = F.pmod(pri, F.lit(8))
+    chain = None
+    for i, v in enumerate(sev_map):
+        chain = F.when(sev == i, v) if chain is None else chain.when(sev == i, v)
+    df = df.withColumn("severity_number", F.coalesce(chain, F.lit(0)).cast("int"))
+    df = df.withColumn("facility", (pri / 8).cast("int"))
+    if protocol == "rfc5424":
+        df = time_parser(df, "ts", "timestamp", "%Y-%m-%dT%H:%M:%S.%fZ")
+        df = df.withColumn(
+            "timestamp",
+            F.coalesce(
+                F.col("timestamp"),
+                F.try_to_timestamp(F.col("ts"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+                F.try_to_timestamp(F.col("ts"), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+            ),
+        )
+    return df
+
+
 # --- container parser (docker / containerd / cri-o auto-detect) -------------
 # Reference regexes: operator/parser/container/parser.go:31-43
 _CRIO_RE = r"^(?P<time>[^ Z]+Z?) (?P<stream>stdout|stderr) (?P<logtag>[PF]) ?(?P<log>.*)$"

@@ -1,0 +1,99 @@
+"""Exporters / sinks — fileexporter & awss3exporter semantics on Spark writers.
+
+Reference anchors:
+- ``exporter/fileexporter/config.go:41-137``: format json/proto, compression,
+  rotation, flush, and ``group_by``: split output files by a resource
+  attribute (grouping_file_exporter.go).
+- ``exporter/awss3exporter/config.go:35-40,75-80``: strftime partition format
+  (s3_partition_format), per-time-bucket object layout.
+- ``exporter/loadbalancingexporter/config.go:17-53``: consistent-hash ring
+  on a routing key ⇒ repartition(hash(key)) so one downstream partition sees
+  a stable slice of keys.
+
+Spark mapping: every variant is a partitioned columnar write — the physical
+file split IS the grouping. JSON-lines output uses Spark's json writer
+(whole-stage codegen serialization, no Python).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def file_exporter(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    group_by: str | None = None,
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """fileexporter: JSON-lines or parquet, optional group_by file split.
+
+    ``group_by: attr`` (grouping_file_exporter.go) ⇒ ``partitionBy(attr)`` —
+    one directory per attribute value, exactly the reference's one-file-per
+    -group behavior but columnar and atomic (_SUCCESS commit).
+    """
+    w = df.write.mode(mode)
+    if group_by:
+        w = w.partitionBy(group_by)
+    if compression:
+        w = w.option("compression", compression)
+    if format == "json":
+        w.json(path)
+    elif format == "parquet":
+        w.parquet(path)
+    else:
+        raise ValueError(f"unsupported format {format!r}")
+
+
+def s3_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "timestamp",
+    granularity: str = "hour",
+    mode: str = "overwrite",
+) -> None:
+    """awss3exporter's strftime partition layout: year=/month=/day=/hour=.
+
+    Hive-style partition columns give partition PRUNING on read — a time
+    -range query scans only its buckets (the strftime prefix achieved the
+    same on S3 listings).
+    """
+    cols = {
+        "year": F.year(ts_col),
+        "month": F.month(ts_col),
+        "day": F.dayofmonth(ts_col),
+        "hour": F.hour(ts_col),
+    }
+    order = ["year", "month", "day", "hour"]
+    keep = order[: order.index(granularity) + 1]
+    out = df
+    for k in keep:
+        out = out.withColumn(k, cols[k])
+    out.write.mode(mode).partitionBy(*keep).parquet(path)
+
+
+def loadbalance_repartition(df: DataFrame, routing_key: str, num_partitions: int) -> DataFrame:
+    """loadbalancingexporter: consistent-hash spread on a routing key.
+
+    repartition(n, hash(key)) pins each key to a stable partition across
+    runs — the ring semantics minus membership churn (Spark re-plans the
+    whole job on topology change anyway).
+    """
+    return df.repartition(num_partitions, F.xxhash64(F.col(routing_key)))
+
+
+def stdout_exporter(df: DataFrame, n: int = 20) -> None:
+    """stanza stdout output (operator/output/stdout/output.go:25-34)."""
+    df.show(n, truncate=False)
+
+
+def write_grouped_counts(df: DataFrame, out_dir: str, group_cols: list[str]) -> None:
+    """count-connector sink: per-group counters as a small parquet table."""
+    df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("count")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "counts"))
