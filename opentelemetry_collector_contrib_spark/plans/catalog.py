@@ -500,6 +500,97 @@ FROM documents
 """
 
 
+def q_log_template_mining(spark, sf_dir):
+    """drainprocessor analog (README.md:4-36): mask variable parts → template
+    → count. Deterministic masking instead of online Drain clustering."""
+    from ..operators.templates import mine_templates
+
+    df = _t(spark, sf_dir, "events").withColumn(
+        "line",
+        F.format_string(
+            'user=%s type=%s took %sms ip=10.0.%s.%s "req done"',
+            F.col("user_id"), F.col("event_type"),
+            (F.col("event_id") % 997).cast("int"),
+            (F.col("user_id") % 256).cast("int"), (F.col("event_id") % 256).cast("int"),
+        ),
+    )
+    out = mine_templates(df, "line")
+    return out.select("template", "n", "example")
+
+
+SQL_LOG_TEMPLATE_MINING = r"""
+WITH lines AS (
+  SELECT printf('user=%d type=%s took %dms ip=10.0.%d.%d "req done"',
+                user_id, event_type, CAST(event_id % 997 AS INT),
+                user_id % 256, event_id % 256) AS line
+  FROM events
+), masked AS (
+  SELECT line,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(line, '"[^"]*"', '<STR>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\b[0-9a-fA-F]{8,}\b', '<HEX>', 'g'),
+           '\d+(?:\.\d+)?', '<NUM>', 'g') AS template
+  FROM lines
+)
+SELECT template, count(*) AS n, min(line) AS example
+FROM masked GROUP BY template
+"""
+
+
+def q_group_by_trace(spark, sf_dir):
+    """groupbytrace analog: assemble per-user 'traces' with span counts and
+    bounds (span list itself is rows-only checked via span_count)."""
+    from ..operators.templates import group_by_trace
+
+    df = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = group_by_trace(df, "user_id", "ts")
+    return out.select(
+        "user_id", "span_count",
+        F.unix_micros("trace_start").alias("start_us"),
+        F.unix_micros("trace_end").alias("end_us"),
+    )
+
+
+SQL_GROUP_BY_TRACE = """
+SELECT user_id, count(*) AS span_count,
+       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+FROM events GROUP BY user_id
+"""
+
+
+def q_tail_sampling(spark, sf_dir):
+    """tailsampling policy OR-set: latency + string_attribute + probabilistic
+    decisions per trace; rows-only for probabilistic (xxhash64) — here only
+    deterministic policies so the oracle holds."""
+    from ..operators.templates import tail_sampling
+
+    df = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    kept = tail_sampling(
+        df,
+        [
+            {"type": "string_attribute", "key": "event_type", "values": ["error"]},
+            {"type": "numeric_attribute", "key": "value", "min": 190.0},
+        ],
+        trace_col="user_id",
+        ts_col="ts",
+    )
+    return kept.select("event_id", "user_id")
+
+
+SQL_TAIL_SAMPLING = """
+SELECT event_id, user_id FROM events
+WHERE user_id IN (
+  SELECT user_id FROM events
+  GROUP BY user_id
+  HAVING max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1
+      OR max(CASE WHEN value >= 190.0 THEN 1 ELSE 0 END) = 1
+)
+"""
+
+
 # ------------------------------------------------------------- text analysis
 
 def q_text_quality(spark, sf_dir):
@@ -674,6 +765,9 @@ QUERIES = {
     "cumulative_to_delta": q_cumulative_to_delta,
     "delta_to_cumulative": q_delta_to_cumulative,
     "interval_last": q_interval_last,
+    "log_template_mining": q_log_template_mining,
+    "group_by_trace": q_group_by_trace,
+    "tail_sampling": q_tail_sampling,
     "exact_dedup": q_exact_dedup,
     "doc_fingerprint": q_doc_fingerprint,
     "text_quality": q_text_quality,
@@ -708,6 +802,9 @@ ORACLES = {
     "cumulative_to_delta": SQL_CUMULATIVE_TO_DELTA,
     "delta_to_cumulative": SQL_DELTA_TO_CUMULATIVE,
     "interval_last": SQL_INTERVAL_LAST,
+    "log_template_mining": SQL_LOG_TEMPLATE_MINING,
+    "group_by_trace": SQL_GROUP_BY_TRACE,
+    "tail_sampling": SQL_TAIL_SAMPLING,
     "exact_dedup": SQL_EXACT_DEDUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "text_quality": SQL_TEXT_QUALITY,

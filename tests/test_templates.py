@@ -1,0 +1,110 @@
+"""Unit tests for template mining / trace assembly / tail sampling.
+
+Reference semantics: processor/drainprocessor/README.md:4-36 (templates),
+processor/groupbytraceprocessor (trace assembly),
+processor/tailsamplingprocessor/internal/sampling/*.go (policies).
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.templates import (
+    group_by_trace,
+    mine_templates,
+    tail_sampling,
+    template_col,
+)
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def spans(spark):
+    rows = [
+        ("t1", _ts(0), "GET", 200, 12.0),
+        ("t1", _ts(5), "GET", 500, 80.0),
+        ("t2", _ts(1), "PUT", 200, 5.0),
+        ("t3", _ts(2), "DEL", 404, 300.0),
+    ]
+    return spark.createDataFrame(
+        rows, "trace_id string, ts timestamp, method string, status_code int, value double"
+    )
+
+
+class TestTemplates:
+    def test_masking(self, spark):
+        df = spark.createDataFrame(
+            [
+                ('conn from 10.1.2.3 took 146ms id=deadbeef99 "hello 42"',),
+                ('conn from 10.9.9.9 took 9ms id=cafebabe11 "bye 7"',),
+            ],
+            "body string",
+        )
+        out = df.select(template_col(F.col("body")).alias("t")).distinct().collect()
+        assert len(out) == 1
+        assert out[0].t == 'conn from <IP> took <NUM>ms id=<HEX> <STR>'
+
+    def test_mine_counts_and_example(self, spark):
+        df = spark.createDataFrame(
+            [("a 1",), ("a 2",), ("b x 3",)], "body string"
+        )
+        got = {r.template: (r.n, r.example) for r in mine_templates(df).collect()}
+        assert got["a <NUM>"] == (2, "a 1")
+        assert got["b x <NUM>"] == (1, "b x 3")
+
+
+class TestGroupByTrace:
+    def test_assembly(self, spans):
+        out = {r.trace_id: r for r in group_by_trace(spans, "trace_id", "ts").collect()}
+        assert out["t1"].span_count == 2
+        assert out["t1"].trace_start == _ts(0) and out["t1"].trace_end == _ts(5)
+        # spans sorted by ts inside the trace
+        assert [s.method for s in out["t1"].spans] == ["GET", "GET"]
+        assert [s.status_code for s in out["t1"].spans] == [200, 500]
+        assert out["t2"].span_count == 1
+
+
+class TestTailSampling:
+    def _ids(self, df):
+        return sorted({r.trace_id for r in df.select("trace_id").collect()})
+
+    def test_always(self, spans):
+        assert self._ids(tail_sampling(spans, [{"type": "always"}])) == ["t1", "t2", "t3"]
+
+    def test_latency(self, spans):
+        # t1 spans 5 minutes = 300000 ms; others 0
+        out = tail_sampling(spans, [{"type": "latency", "threshold_ms": 60000}])
+        assert self._ids(out) == ["t1"]
+
+    def test_numeric_attribute(self, spans):
+        out = tail_sampling(spans, [{"type": "numeric_attribute", "key": "value", "min": 100.0}])
+        assert self._ids(out) == ["t3"]
+
+    def test_string_attribute(self, spans):
+        out = tail_sampling(spans, [{"type": "string_attribute", "key": "method", "values": ["PUT"]}])
+        assert self._ids(out) == ["t2"]
+
+    def test_status_code(self, spans):
+        out = tail_sampling(spans, [{"type": "status_code", "values": [500, 404]}])
+        assert self._ids(out) == ["t1", "t3"]
+
+    def test_or_combination(self, spans):
+        out = tail_sampling(
+            spans,
+            [
+                {"type": "string_attribute", "key": "method", "values": ["PUT"]},
+                {"type": "latency", "threshold_ms": 60000},
+            ],
+        )
+        assert self._ids(out) == ["t1", "t2"]
+
+    def test_probabilistic_deterministic(self, spans):
+        a = self._ids(tail_sampling(spans, [{"type": "probabilistic", "percent": 50, "seed": 7}]))
+        b = self._ids(tail_sampling(spans, [{"type": "probabilistic", "percent": 50, "seed": 7}]))
+        assert a == b  # re-runnable: same hash, same decision
+        full = self._ids(tail_sampling(spans, [{"type": "probabilistic", "percent": 100}]))
+        assert full == ["t1", "t2", "t3"]
