@@ -195,6 +195,17 @@ class Parser:
 
     def term(self):
         t = self.next()
+        if t.text == "[":  # list literal (LANGUAGE.md lists): ["a", "b", 1]
+            items = []
+            if self.peek() and self.peek().text != "]":
+                items.append(self.or_expr())
+                while self.peek() and self.peek().text == ",":
+                    self.next()
+                    items.append(self.or_expr())
+            self.expect("]")
+            if not all(isinstance(i, Lit) for i in items):
+                raise ValueError("list literals support only literal elements")
+            return Lit([i.value for i in items])
         if t.kind == "string":
             return Lit(t.text[1:-1].encode().decode("unicode_escape"))
         if t.kind == "int":
@@ -613,6 +624,26 @@ class Compiler:
         if name == "set":
             target = self.resolver.column_name(ed.args[0])
             value = self._as_col(self.compile_value(ed.args[1]))
+            # attributes["k"] with a live MapType attributes column and no
+            # promoted flat column ⇒ true map upsert (func_set.go on pcommon
+            # maps mutates the map, not a sibling field)
+            p = ed.args[0]
+            parts = list(p.parts) if isinstance(p, Path) else []
+            if parts and parts[0] in ("log", "resource"):
+                parts = parts[1:]
+            if (
+                len(parts) == 2
+                and parts[0] == "attributes"
+                and isinstance(parts[1], tuple)
+                and target not in df.columns
+                and dict(df.dtypes).get("attributes", "").startswith("map<")
+            ):
+                key = parts[1][1]
+                upserted = F.map_concat(
+                    F.map_filter(F.col("attributes"), lambda k, v: k != key),
+                    F.create_map(F.lit(key), value.cast("string")),
+                )
+                return guarded("attributes", upserted)
             return guarded(target, value)
         if name in ("delete_key", "delete_matching_keys", "keep_matching_keys", "keep_keys"):
             target = self.resolver.column_name(ed.args[0])
@@ -626,8 +657,11 @@ class Compiler:
             elif name == "keep_matching_keys":
                 pat = _jre(self.compile_value(ed.args[1]))
                 new = F.map_filter(col, lambda k, v: k.rlike(pat))
-            else:  # keep_keys
-                keys = [_as_py(self.compile_value(a)) for a in ed.args[1:]]
+            else:  # keep_keys — varargs or a single list literal
+                keys = []
+                for a in ed.args[1:]:
+                    v = _as_py(self.compile_value(a))
+                    keys.extend(v) if isinstance(v, list) else keys.append(v)
                 arr = F.array(*[F.lit(k) for k in keys])
                 new = F.map_filter(col, lambda k, v: F.array_contains(arr, k))
             return guarded(target, new)

@@ -591,6 +591,363 @@ WHERE user_id IN (
 """
 
 
+# ----------------------------------------------- extended parser/processor set
+
+def q_csv_parser(spark, sf_dir):
+    """stanza csv_parser (operator/parser/csv/parser.go:78): static header
+    list over a synthesized CSV line, parsed with from_csv."""
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "line",
+        F.format_string("%s,%s,%s", F.col("l_orderkey"), F.col("l_returnflag"), F.col("l_linestatus")),
+    )
+    df = parsers.csv_parser(df, ["okey", "rflag", "smode"], parse_from="line")
+    return df.select(
+        F.col("okey").cast("bigint").alias("okey"),
+        "rflag", "smode",
+        F.col("l_linenumber").alias("lineno"),
+    )
+
+
+SQL_CSV_PARSER = """
+WITH lines AS (
+  SELECT printf('%d,%s,%s', l_orderkey, l_returnflag, l_linestatus) AS line,
+         l_linenumber FROM lineitem
+)
+SELECT CAST(str_split(line, ',')[1] AS BIGINT) AS okey,
+       str_split(line, ',')[2] AS rflag,
+       str_split(line, ',')[3] AS smode,
+       l_linenumber AS lineno
+FROM lines
+"""
+
+
+def q_uri_parser(spark, sf_dir):
+    """stanza uri_parser (operator/parser/uri/parser.go:26): parse_url per
+    component over a synthesized URL."""
+    df = _t(spark, sf_dir, "events").withColumn(
+        "url",
+        F.format_string(
+            "https://%s.example.com:8443/api/v%s/items?uid=%s",
+            F.col("event_type"), (F.col("user_id") % 3).cast("int"), F.col("user_id"),
+        ),
+    )
+    df = parsers.uri_parser(df, "url")
+    return df.select(
+        "event_id",
+        F.col("uri_scheme").alias("scheme"),
+        F.col("uri_host").alias("host"),
+        F.col("uri_path").alias("path"),
+        F.col("uri_query").alias("query"),
+    )
+
+
+SQL_URI_PARSER = """
+WITH u AS (
+  SELECT event_id,
+         printf('https://%s.example.com:8443/api/v%d/items?uid=%d',
+                event_type, user_id % 3, user_id) AS url
+  FROM events
+)
+SELECT event_id,
+       regexp_extract(url, '^(\\w+)://', 1) AS scheme,
+       regexp_extract(url, '^\\w+://([^:/?]+)', 1) AS host,
+       regexp_extract(url, '^\\w+://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query
+FROM u
+"""
+
+
+def q_syslog_rfc5424(spark, sf_dir):
+    """syslog_parser RFC5424 (operator/parser/syslog/parser.go:115): PRI →
+    severity/facility, header fields, timestamp."""
+    pri = F.when(F.col("event_type") == "error", 11).otherwise(14)
+    df = _t(spark, sf_dir, "events").withColumn(
+        "body",
+        F.format_string(
+            "<%s>1 %s host-%s app-%s %s ID47 - boom %s",
+            pri,
+            F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            (F.col("user_id") % 5).cast("int"),
+            F.col("event_type"), F.col("event_id"), F.col("event_id"),
+        ),
+    )
+    df = parsers.syslog_parser(df, "body", protocol="rfc5424")
+    return df.select(
+        "event_id", "severity_number", "facility", "hostname", "appname",
+        F.col("message").alias("message"),
+        F.unix_micros("timestamp").alias("ts_us"),
+    )
+
+
+SQL_SYSLOG_RFC5424 = """
+WITH lines AS (
+  SELECT event_id,
+         printf('<%d>1 %s host-%d app-%s %d ID47 - boom %d',
+                CASE WHEN event_type = 'error' THEN 11 ELSE 14 END,
+                strftime(ts, '%Y-%m-%dT%H:%M:%SZ'),
+                user_id % 5, event_type, event_id, event_id) AS body
+  FROM events
+), p AS (
+  SELECT event_id, body,
+         CAST(regexp_extract(body, '^<(\\d{1,3})>', 1) AS INT) AS pri,
+         regexp_extract(body, '^<\\d+>\\d (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|\\[.*?\\]) ?(.*)$',
+                        ['ts','hostname','appname','procid','msgid','structured','message']) AS g
+  FROM lines
+)
+SELECT event_id,
+       CASE pri % 8 WHEN 0 THEN 23 WHEN 1 THEN 22 WHEN 2 THEN 21 WHEN 3 THEN 17
+                    WHEN 4 THEN 13 WHEN 5 THEN 10 WHEN 6 THEN 9 WHEN 7 THEN 5 END AS severity_number,
+       pri // 8 AS facility,
+       g.hostname AS hostname, g.appname AS appname, g.message AS message,
+       epoch_us(strptime(g.ts, '%Y-%m-%dT%H:%M:%SZ')) AS ts_us
+FROM p
+"""
+
+
+def q_container_parser(spark, sf_dir):
+    """container parser auto-detect (operator/parser/container/parser.go:31-43):
+    docker-JSON vs containerd lines in one column."""
+    docker_line = F.format_string(
+        '{"log":"m %s","stream":"stdout","time":"2024-01-01T00:00:00Z"}', F.col("event_id")
+    )
+    cri_line = F.format_string("2024-01-01T00:00:00Z stderr F m %s", F.col("event_id"))
+    df = _t(spark, sf_dir, "events").withColumn(
+        "body", F.when(F.col("event_id") % 2 == 0, docker_line).otherwise(cri_line)
+    )
+    df = parsers.container_parser(df, "body")
+    return df.select("event_id", "container_format", "log", "stream", "container_time")
+
+
+SQL_CONTAINER_PARSER = """
+SELECT event_id,
+       CASE WHEN event_id % 2 = 0 THEN 'docker' ELSE 'containerd' END AS container_format,
+       printf('m %d', event_id) AS log,
+       CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
+       '2024-01-01T00:00:00Z' AS container_time
+FROM events
+"""
+
+
+def q_trace_parser(spark, sf_dir):
+    """trace_parser (operator/helper/trace.go): hex → binary ids; checked via
+    byte length + lowercase hex round-trip."""
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "trace_id_hex", F.md5(F.col("doc_id").cast("string").cast("binary"))
+    )
+    df = parsers.trace_parser(df, "trace_id_hex")
+    return df.select(
+        "doc_id",
+        F.length("trace_id").alias("id_bytes"),
+        F.lower(F.hex("trace_id")).alias("roundtrip"),
+    )
+
+
+SQL_TRACE_PARSER = """
+SELECT doc_id,
+       octet_length(unhex(md5(CAST(doc_id AS VARCHAR)))) AS id_bytes,
+       lower(hex(unhex(md5(CAST(doc_id AS VARCHAR))))) AS roundtrip
+FROM documents
+"""
+
+
+def q_redaction(spark, sf_dir):
+    """redaction processor (processor/redactionprocessor/processor.go:189-233):
+    allowed-key filter + blocked-value masking over an attributes map."""
+    df = _t(spark, sf_dir, "events").withColumn(
+        "attributes",
+        F.create_map(
+            F.lit("user"), F.col("user_id").cast("string"),
+            F.lit("token"), F.concat(F.lit("tok-"), F.col("event_id")),
+            F.lit("note"), F.col("event_type"),
+        ),
+    )
+    df = processors.redaction(
+        df, allowed_keys=["user", "token"], blocked_values=[r"^tok-\d*[02468]$"]
+    )
+    return df.select(
+        "event_id",
+        F.element_at("attributes", "user").alias("user_attr"),
+        F.element_at("attributes", "token").alias("token_attr"),
+        F.element_at("attributes", "note").alias("note_attr"),
+        F.size(F.map_keys("attributes")).alias("n_keys"),
+    )
+
+
+SQL_REDACTION = """
+SELECT event_id,
+       CAST(user_id AS VARCHAR) AS user_attr,
+       CASE WHEN event_id % 2 = 0 THEN '****' ELSE 'tok-' || event_id END AS token_attr,
+       CAST(NULL AS VARCHAR) AS note_attr,
+       2 AS n_keys
+FROM events
+"""
+
+
+def q_geoip_enrich(spark, sf_dir):
+    """geoip range enrich (processor/geoipprocessor): broadcast non-equi join
+    of ip-int against interval dim — fact side never shuffles."""
+    from ..operators import enrich
+
+    base = 10 * 16777216  # 10.0.0.0
+    ranges = spark.createDataFrame(
+        [
+            (base, base + 64 * 65536 - 1, "us-east"),
+            (base + 64 * 65536, base + 128 * 65536 - 1, "eu-west"),
+            (base + 128 * 65536, base + 256 * 65536 - 1, "ap-south"),
+        ],
+        "ip_lo long, ip_hi long, geo string",
+    )
+    df = _t(spark, sf_dir, "events").withColumn(
+        "ip",
+        F.format_string(
+            "10.%s.0.%s",
+            (F.col("user_id") % 256).cast("int"), (F.col("event_id") % 256).cast("int"),
+        ),
+    )
+    out = enrich.geoip_range_lookup(df, "ip", ranges)
+    return out.select("event_id", "ip", "geo")
+
+
+SQL_GEOIP_ENRICH = """
+WITH f AS (
+  SELECT event_id,
+         printf('10.%d.0.%d', user_id % 256, event_id % 256) AS ip,
+         10 * 16777216 + (user_id % 256) * 65536 + (event_id % 256) AS ip_int
+  FROM events
+), r AS (
+  SELECT * FROM (VALUES
+    (CAST(10*16777216 AS BIGINT), CAST(10*16777216 + 64*65536 - 1 AS BIGINT), 'us-east'),
+    (CAST(10*16777216 + 64*65536 AS BIGINT), CAST(10*16777216 + 128*65536 - 1 AS BIGINT), 'eu-west'),
+    (CAST(10*16777216 + 128*65536 AS BIGINT), CAST(10*16777216 + 256*65536 - 1 AS BIGINT), 'ap-south')
+  ) AS t(ip_lo, ip_hi, geo)
+)
+SELECT f.event_id, f.ip, r.geo
+FROM f LEFT JOIN r ON f.ip_int BETWEEN r.ip_lo AND r.ip_hi
+"""
+
+
+def q_delta_to_rate(spark, sf_dir):
+    """deltatorateprocessor: delta value / seconds since previous point per
+    series (lag window)."""
+    from ..operators import metrics
+
+    df = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = metrics.delta_to_rate(df, ["user_id"], "ts", "value")
+    return out.select("event_id", "user_id", F.round("rate_per_s", 6).alias("rate_per_s"))
+
+
+SQL_DELTA_TO_RATE = """
+WITH d AS (
+  SELECT event_id, user_id, value,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS dt_us
+  FROM events
+)
+SELECT event_id, user_id, round(value / (dt_us / 1000000.0), 6) AS rate_per_s
+FROM d WHERE dt_us IS NOT NULL AND dt_us > 0
+"""
+
+
+def q_grok_parser(spark, sf_dir):
+    """ExtractGrokPatterns (pkg/ottl/ottlfuncs/func_extract_grok_patterns.go:
+    18-120): grok → named-group regex at plan time, typed captures."""
+    from ..functions.grok import grok_parser
+
+    df = _t(spark, sf_dir, "events").withColumn(
+        "body",
+        F.format_string(
+            "10.0.%s.%s GET /api/%s 200 %s",
+            (F.col("user_id") % 256).cast("int"), (F.col("event_id") % 256).cast("int"),
+            F.col("event_type"), F.col("event_id"),
+        ),
+    )
+    df = grok_parser(
+        df, "%{IPV4:client_ip} %{WORD:method} %{URIPATH:path} %{INT:status:int} %{INT:bytes:int}"
+    )
+    return df.select("event_id", "client_ip", "method", "path", "status", "bytes")
+
+
+SQL_GROK_PARSER = """
+SELECT event_id,
+       printf('10.0.%d.%d', user_id % 256, event_id % 256) AS client_ip,
+       'GET' AS method,
+       printf('/api/%s', event_type) AS path,
+       CAST(200 AS BIGINT) AS status,
+       CAST(event_id AS BIGINT) AS bytes
+FROM events
+"""
+
+
+def q_ottl_map_editors(spark, sf_dir):
+    """OTTL map editors keep_keys + truncate_all + set-where
+    (func_keep_keys.go, func_truncate_all.go, func_set.go) compiled to
+    Column expressions by the OTTL frontend."""
+    from ..functions.ottl import transform_processor
+
+    df = _t(spark, sf_dir, "events").withColumn(
+        "attributes",
+        F.create_map(
+            F.lit("etype"), F.col("event_type"),
+            F.lit("uid"), F.col("user_id").cast("string"),
+            F.lit("drop_me"), F.lit("zzz"),
+        ),
+    ).withColumn("severity_number", F.when(F.col("event_type") == "error", 17).otherwise(9))
+    df = transform_processor(
+        df,
+        [
+            'keep_keys(attributes, ["etype", "uid"])',
+            "truncate_all(attributes, 4)",
+            'set(attributes["alert"], "yes") where severity_number >= 17',
+        ],
+    )
+    return df.select(
+        "event_id",
+        F.element_at("attributes", "etype").alias("etype_attr"),
+        F.element_at("attributes", "uid").alias("uid_attr"),
+        F.element_at("attributes", "drop_me").alias("dropped"),
+        F.element_at("attributes", "alert").alias("alert"),
+    )
+
+
+SQL_OTTL_MAP_EDITORS = """
+SELECT event_id,
+       substr(event_type, 1, 4) AS etype_attr,
+       substr(CAST(user_id AS VARCHAR), 1, 4) AS uid_attr,
+       CAST(NULL AS VARCHAR) AS dropped,
+       CASE WHEN event_type = 'error' THEN 'yes' END AS alert
+FROM events
+"""
+
+
+def q_span_metrics(spark, sf_dir):
+    """spanmetrics connector (connector/spanmetricsconnector/config.go:43-141):
+    calls count + explicit-bucket duration histogram per dimension set."""
+    df = _t(spark, sf_dir, "events")
+    dur = F.col("value")
+    return (
+        df.groupBy(F.col("event_type").alias("span_name"))
+        .agg(
+            F.count(F.lit(1)).alias("calls"),
+            F.sum(dur.cast("decimal(18,2)")).alias("duration_sum"),
+            F.sum((dur <= 50).cast("long")).alias("le_50"),
+            F.sum(((dur > 50) & (dur <= 100)).cast("long")).alias("le_100"),
+            F.sum(((dur > 100) & (dur <= 200)).cast("long")).alias("le_200"),
+            F.sum((dur > 200).cast("long")).alias("le_inf"),
+        )
+    )
+
+
+SQL_SPAN_METRICS = """
+SELECT event_type AS span_name,
+       count(*) AS calls,
+       sum(CAST(value AS DECIMAL(18,2))) AS duration_sum,
+       CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS le_50,
+       CAST(sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS le_100,
+       CAST(sum(CASE WHEN value > 100 AND value <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS le_200,
+       CAST(sum(CASE WHEN value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS le_inf
+FROM events GROUP BY event_type
+"""
+
+
 # ------------------------------------------------------------- text analysis
 
 def q_text_quality(spark, sf_dir):
@@ -768,6 +1125,17 @@ QUERIES = {
     "log_template_mining": q_log_template_mining,
     "group_by_trace": q_group_by_trace,
     "tail_sampling": q_tail_sampling,
+    "csv_parser": q_csv_parser,
+    "uri_parser": q_uri_parser,
+    "syslog_rfc5424": q_syslog_rfc5424,
+    "container_parser": q_container_parser,
+    "trace_parser": q_trace_parser,
+    "redaction": q_redaction,
+    "geoip_enrich": q_geoip_enrich,
+    "delta_to_rate": q_delta_to_rate,
+    "grok_parser": q_grok_parser,
+    "ottl_map_editors": q_ottl_map_editors,
+    "span_metrics": q_span_metrics,
     "exact_dedup": q_exact_dedup,
     "doc_fingerprint": q_doc_fingerprint,
     "text_quality": q_text_quality,
@@ -805,6 +1173,17 @@ ORACLES = {
     "log_template_mining": SQL_LOG_TEMPLATE_MINING,
     "group_by_trace": SQL_GROUP_BY_TRACE,
     "tail_sampling": SQL_TAIL_SAMPLING,
+    "csv_parser": SQL_CSV_PARSER,
+    "uri_parser": SQL_URI_PARSER,
+    "syslog_rfc5424": SQL_SYSLOG_RFC5424,
+    "container_parser": SQL_CONTAINER_PARSER,
+    "trace_parser": SQL_TRACE_PARSER,
+    "redaction": SQL_REDACTION,
+    "geoip_enrich": SQL_GEOIP_ENRICH,
+    "delta_to_rate": SQL_DELTA_TO_RATE,
+    "grok_parser": SQL_GROK_PARSER,
+    "ottl_map_editors": SQL_OTTL_MAP_EDITORS,
+    "span_metrics": SQL_SPAN_METRICS,
     "exact_dedup": SQL_EXACT_DEDUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "text_quality": SQL_TEXT_QUALITY,
