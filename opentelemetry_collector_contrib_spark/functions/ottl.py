@@ -286,6 +286,7 @@ class PathResolver:
         self.columns = set(df.columns) if df is not None else None
         self.has_attr_map = bool(df is not None and "attributes" in df.columns and
                                  df.schema["attributes"].dataType.typeName() == "map")
+        self.dtypes = dict(df.dtypes) if df is not None else {}
         self.overrides = overrides or {}
 
     def column_name(self, path: Path) -> str:
@@ -416,8 +417,96 @@ def build_registry(error_mode: str = "ignore") -> dict:
         "ToSnakeCase": lambda c: F.lower(F.regexp_replace(F.regexp_replace(c, r"([a-z0-9])([A-Z])", r"$1_$2"), r"[\s-]+", "_")),
         "ToCamelCase": lambda c: _to_camel(c),
         "ConvertCase": lambda c, mode: _convert_case(c, _as_py(mode)),
+        # charset / time extras (func_decode.go, func_duration.go, func_unix.go,
+        # func_hours.go..func_nanoseconds.go, func_nanosecond.go)
+        "Decode": lambda c, charset: F.decode(c.cast("binary"), _as_py(charset)),
+        "Duration": lambda c: _duration_seconds(c),
+        "Unix": lambda c: F.timestamp_seconds(c),
+        "Nanosecond": lambda c: (F.unix_micros(c) % 1_000_000) * 1000,
+        "Hours": lambda c: c / 3600.0,
+        "Minutes": lambda c: c / 60.0,
+        "Seconds": lambda c: c.cast("double"),
+        "Milliseconds": lambda c: c * 1000.0,
+        "Microseconds": lambda c: c * 1_000_000.0,
+        "Nanoseconds": lambda c: (c * 1_000_000_000).cast("long"),
+        # (IsBool/IsInt/IsDouble/IsList/IsMap/IsString are compiled as static
+        # schema predicates in Compiler._type_predicate, not registry calls)
+        # func_is_valid_luhn.go — pure HOF math, JVM-side
+        "IsValidLuhn": _is_valid_luhn,
+        # collections extras
+        "MapKeys": F.map_keys,
+        "MapValues": F.map_values,
+        "ToKeyValueString": lambda m, d="=", p=" ": F.array_join(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.concat(e["key"], F.lit(_as_py(d)), e["value"]),
+            ),
+            _as_py(p),
+        ),
+        # xml family via xpath (func_get_xml.go / func_parse_xml.go subset)
+        "GetXML": lambda c, xp: F.xpath_string(c, F.lit(_as_py(xp))),
+        # user agent (func_useragent.go): minimal browser/os extraction
+        "UserAgent": lambda c: F.struct(
+            F.coalesce(
+                F.regexp_extract(c, r"(Firefox|Chrome|Safari|Edge|MSIE|Opera|curl|wget)[/ ]?([\d.]*)", 1),
+                F.lit("Other"),
+            ).alias("user_agent_name"),
+            F.regexp_extract(c, r"(?:Firefox|Chrome|Safari|Edge|MSIE|Opera|curl|wget)[/ ]?([\d.]*)", 1).alias("user_agent_version"),
+            F.coalesce(
+                F.regexp_extract(c, r"\((Windows NT [\d.]+|Macintosh|Linux|Android [\d.]*|iPhone)", 1),
+                F.lit("Other"),
+            ).alias("os_name"),
+        ),
     }
     return reg
+
+
+_TYPE_PREDICATES = {
+    "IsBool": ("boolean",),
+    "IsInt": ("int", "bigint", "smallint", "tinyint"),
+    "IsDouble": ("double", "float"),
+    "IsString": ("string",),
+    "IsList": ("array",),
+    "IsMap": ("map", "struct"),
+}
+
+
+def _duration_seconds(c: Column) -> Column:
+    """Duration("1h22m33s") → seconds as double (func_duration.go: Go
+    time.ParseDuration subset h/m/s/ms/us/ns)."""
+    num = lambda unit: F.coalesce(  # noqa: E731
+        F.regexp_extract(c, r"([\d.]+)" + unit, 1).try_cast("double"), F.lit(0.0)
+    )
+    return (
+        num(r"h") * 3600
+        + num(r"m(?![s])") * 60
+        + num(r"(?<![mun])s")
+        + num(r"ms") / 1e3
+        + num(r"us") / 1e6
+        + num(r"ns") / 1e9
+    )
+
+
+def _is_valid_luhn(c: Column) -> Column:
+    """Luhn checksum over the digit string, pure Column math.
+
+    Reverse the digits; double every 2nd; sum digit-sums; valid iff %10==0.
+    """
+    digits = F.reverse(F.split(F.regexp_replace(c.cast("string"), r"\D", ""), ""))
+    digits = F.filter(digits, lambda d: d != "")
+    summed = F.aggregate(
+        F.zip_with(
+            digits,
+            F.sequence(F.lit(0), F.greatest(F.size(digits) - 1, F.lit(0))),
+            lambda d, i: F.when(
+                i % 2 == 1,
+                F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9).otherwise(d.cast("int") * 2),
+            ).otherwise(d.cast("int")),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (F.length(F.regexp_replace(c.cast("string"), r"\D", "")) > 1) & (summed % 10 == 0)
 
 
 def _extract_patterns(c: Column, pattern: str) -> Column:
@@ -537,6 +626,9 @@ LITERAL_ARG_POSITIONS: dict[str, frozenset[int]] = {
     "ConvertCase": frozenset([1]),
     "ParseJSON": frozenset([1]),
     "ParseCSV": frozenset([1]),
+    "ToKeyValueString": frozenset([1, 2]),
+    "GetXML": frozenset([1]),
+    "Decode": frozenset([1]),
 }
 
 
@@ -559,6 +651,10 @@ class Compiler:
         if isinstance(node, Path):
             return self.resolver.resolve(node)
         if isinstance(node, Call):
+            # static type predicates: resolved from the DataFrame schema, not
+            # at runtime — the flat model's column types are fixed (§1.3)
+            if node.name in _TYPE_PREDICATES and len(node.args) == 1:
+                return self._type_predicate(node)
             fn = self.registry.get(node.name)
             if fn is None:
                 raise ValueError(f"unsupported OTTL converter {node.name!r}")
@@ -577,6 +673,30 @@ class Compiler:
 
     def _as_col(self, v) -> Column:
         return v if isinstance(v, Column) else F.lit(v)
+
+    def _type_predicate(self, node: Call) -> Column:
+        """IsBool/IsInt/IsDouble/IsString/IsList/IsMap on a path: look the
+        column's type up in the schema (func_is_*.go return the pcommon kind
+        check; here the kind is the static column type). Non-path args fall
+        back to python-type inspection of the literal."""
+        arg = node.args[0]
+        prefixes = _TYPE_PREDICATES[node.name]
+        if isinstance(arg, Path):
+            name = self.resolver.column_name(arg)
+            dt = self.resolver.dtypes.get(name, "")
+            if not dt and self.resolver.has_attr_map:
+                dt = "string"  # map<string,string> values
+            return F.lit(bool(dt) and any(dt.startswith(p) for p in prefixes))
+        if isinstance(arg, Lit):
+            pytypes = {"IsBool": bool, "IsInt": int, "IsDouble": float,
+                       "IsString": str, "IsList": list, "IsMap": dict}
+            return F.lit(isinstance(arg.value, pytypes[node.name]))
+        # computed expression: fall back to the runtime registry check if one
+        # exists (IsString), else statically false
+        fn = self.registry.get(node.name)
+        if fn is not None:
+            return fn(self._as_col(self.compile_value(arg)))
+        return F.lit(False)
 
     def _binop(self, node: BinOp) -> Column:
         if node.op in ("and", "or"):
