@@ -58,19 +58,44 @@ def run_once(spark, tokens_path: str, tag: str, write_sinks: bool) -> float:
     return wall
 
 
-def bench_level(master_n: int, runs: int = 2) -> float:
-    """Best-of-N compute-e2e wall time at a parallelism level."""
-    spark = get_spark(
-        master=f"local[{master_n}]",
-        shuffle_partitions=master_n,
-        app_name=f"bench{master_n}",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+_LEVEL_SNIPPET = """
+import sys, time, shutil
+sys.path.insert(0, {repo!r})
+from opentelemetry_collector_contrib_spark.session import get_spark
+from opentelemetry_collector_contrib_spark.plans.pipeline import run_pipeline
+spark = get_spark(master="local[{n}]", shuffle_partitions={n},
+                  app_name="bench{n}",
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+best = float("inf")
+for i in range({runs}):
+    out = "/tmp/bench_lvl_{n}_" + str(i)
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    run_pipeline(spark, {data!r}, out, write_sinks=False)
+    best = min(best, time.time() - t0)
+    shutil.rmtree(out, ignore_errors=True)
+print("BEST", best)
+"""
+
+
+def bench_level(master_n: int, runs: int = 3) -> float:
+    """Best-of-N compute-e2e wall time at a parallelism level.
+
+    Each level runs in a FRESH subprocess/JVM: measuring inside the JVM that
+    just ran the 32-core query sweep under-reports the smaller levels (heap
+    already grown, GC pressure, code-cache churn) and adds run-to-run noise
+    to the efficiency ratio the north rule gates on.
+    """
+    import subprocess
+
+    snippet = _LEVEL_SNIPPET.format(repo=REPO, n=master_n, runs=runs, data=DATA_CACHE)
+    proc = subprocess.run(
+        [sys.executable, "-c", snippet], capture_output=True, text=True, timeout=1800
     )
-    best = float("inf")
-    for i in range(runs):
-        best = min(best, run_once(spark, DATA_CACHE, f"n{master_n}_{i}", write_sinks=False))
-    spark.stop()
-    return best
+    for line in proc.stdout.splitlines():
+        if line.startswith("BEST"):
+            return float(line.split()[1])
+    raise RuntimeError(f"bench level {master_n} failed: {proc.stderr[-500:]}")
 
 
 def main() -> None:

@@ -143,3 +143,35 @@ def sum_connector(
     return cur.groupBy(*dimensions).agg(
         F.sum(F.col(source_attribute).cast("double")).alias(name)
     )
+
+
+def load_balancing_bucket(
+    df: DataFrame, routing_key: str, num_endpoints: int, out: str = "endpoint"
+) -> DataFrame:
+    """loadbalancingexporter: deterministic endpoint assignment by key hash.
+
+    Reference: ``exporter/loadbalancingexporter/config.go:17-53`` — a
+    consistent-hash ring keyed by routing_key (traceID/resource attrs)
+    spreads a stream over N downstream endpoints. Batch form: a stable
+    bucket column (md5-derived so any engine reproduces it), which also
+    doubles as the explicit repartition key for co-located writes:
+    ``df.repartition(num_endpoints, col(out))``.
+    """
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(routing_key).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(num_endpoints),
+    )
+    return df.withColumn(out, bucket.cast("int"))
+
+
+def fan_in(*dfs: DataFrame) -> DataFrame:
+    """Pipeline fan-in: N streams → one consumer (union of pipelines).
+
+    Reference: the collector service graph delivers multiple pipelines to a
+    shared consumer; set-op form is a by-name union (SURVEY §2.9).
+    """
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out

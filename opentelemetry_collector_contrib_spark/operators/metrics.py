@@ -79,3 +79,70 @@ def interval_last(
         .withColumn("window_start", F.col("w.start"))
         .drop("w")
     )
+
+
+def metrics_transform(
+    df: DataFrame,
+    rename: dict[str, str] | None = None,
+    scale: float | None = None,
+    aggregate_across: list[str] | None = None,
+    agg_type: str = "sum",
+    metric_col: str = "metric_name",
+    value_col: str = "value",
+) -> DataFrame:
+    """metricstransformprocessor: rename metrics, scale values, aggregate
+    across label dimensions.
+
+    Reference: ``processor/metricstransformprocessor`` (rename via
+    ``new_name``, ``experimental_scale_value``, ``aggregate_labels`` with
+    aggregation_type ∈ sum/mean/min/max/count). ``aggregate_across`` lists
+    the label columns to KEEP — all other non-metric/value columns are
+    dropped and points merged (the processor's aggregate-labels contract).
+    One hash-agg; map-side partial combine keeps the shuffle at group-key
+    cardinality.
+    """
+    if rename:
+        expr = F.col(metric_col)
+        for old, new in rename.items():
+            expr = F.when(F.col(metric_col) == old, new).otherwise(expr)
+        df = df.withColumn(metric_col, expr)
+    if scale is not None:
+        df = df.withColumn(value_col, F.col(value_col) * scale)
+    if aggregate_across is not None:
+        aggs = {
+            "sum": F.sum(value_col),
+            "mean": F.avg(value_col),
+            "min": F.min(value_col),
+            "max": F.max(value_col),
+            "count": F.count(F.lit(1)),
+        }
+        df = df.groupBy(metric_col, *aggregate_across).agg(
+            aggs[agg_type].alias(value_col), F.count(F.lit(1)).alias("points_merged")
+        )
+    return df
+
+
+def metrics_generation(
+    df: DataFrame,
+    name: str,
+    operand1: str,
+    operand2: str,
+    operation: str = "divide",
+    value_col: str = "value",
+) -> DataFrame:
+    """metricsgenerationprocessor: derive a new metric from two existing ones
+    (calculate mode: operand1 <op> operand2 per matching label set).
+
+    Reference: ``processor/metricsgenerationprocessor`` (README: ``calculate``
+    rule with metric_1, metric_2, operation ∈ add/subtract/multiply/divide/
+    percent). Columnar form: both operands are columns per row.
+    """
+    a, b = F.col(operand1), F.col(operand2)
+    ops = {
+        "add": a + b,
+        "subtract": a - b,
+        "multiply": a * b,
+        "divide": F.when(b != 0, a / b),
+        "percent": F.when(b != 0, a / b * 100.0),
+    }
+    return df.withColumn(name, ops[operation])

@@ -948,6 +948,91 @@ FROM events GROUP BY event_type
 """
 
 
+def q_metrics_transform(spark, sf_dir):
+    """metricstransformprocessor: rename + scale + aggregate-across-labels
+    (README operations table) on the events 'metric' stream."""
+    from ..operators import metrics
+
+    df = (
+        _t(spark, sf_dir, "events")
+        .withColumn("metric_name", F.concat(F.lit("evt."), F.col("event_type")))
+        .withColumn("value", F.col("value").cast("decimal(18,2)"))  # exact agg
+    )
+    out = metrics.metrics_transform(
+        df,
+        rename={"evt.error": "evt.failure"},
+        aggregate_across=["metric_name"],
+        agg_type="sum",
+    )
+    return out.select("metric_name", "value", "points_merged")
+
+
+SQL_METRICS_TRANSFORM = """
+SELECT CASE WHEN event_type = 'error' THEN 'evt.failure'
+            ELSE 'evt.' || event_type END AS metric_name,
+       sum(CAST(value AS DECIMAL(18,2))) AS value,
+       count(*) AS points_merged
+FROM events GROUP BY 1
+"""
+
+
+def q_metrics_generation(spark, sf_dir):
+    """metricsgenerationprocessor calculate rule: utilization = value /
+    (user_id+1) per point (divide with zero-guard)."""
+    from ..operators import metrics
+
+    df = _t(spark, sf_dir, "events").withColumn(
+        "capacity", (F.col("user_id") + 1).cast("double")
+    )
+    out = metrics.metrics_generation(df, "utilization", "value", "capacity", "divide")
+    # no explicit round(): Spark rounds half-up, DuckDB half-even — ties at
+    # the 6th decimal diverge. IEEE754 division is exactly rounded, so the
+    # raw doubles are bit-identical; the harness's %.6f normalization (same
+    # Python rounding on both sides) compares them safely.
+    return out.select("event_id", "utilization")
+
+
+SQL_METRICS_GENERATION = """
+SELECT event_id,
+       value / CAST(user_id + 1 AS DOUBLE) AS utilization
+FROM events
+"""
+
+
+def q_load_balancing(spark, sf_dir):
+    """loadbalancingexporter consistent bucket assignment: md5-derived
+    endpoint per routing key + per-endpoint row counts."""
+    df = _t(spark, sf_dir, "events")
+    out = connectors.load_balancing_bucket(df, "user_id", 5)
+    return out.groupBy("endpoint").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_LOAD_BALANCING = """
+SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INT) AS endpoint,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_fan_in_union(spark, sf_dir):
+    """Pipeline fan-in (unionByName of two routed streams) with per-origin
+    counts — the collector's N-pipelines→one-consumer edge."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").withColumn("origin", F.lit("p_err"))
+    b = ev.filter(F.col("value") >= 150).withColumn("origin", F.lit("p_big"))
+    out = connectors.fan_in(a, b)
+    return out.groupBy("origin").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_FAN_IN_UNION = """
+SELECT origin, count(*) AS n FROM (
+  SELECT 'p_err' AS origin FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT 'p_big' AS origin FROM events WHERE value >= 150
+) GROUP BY origin
+"""
+
+
 # ------------------------------------------------------------- text analysis
 
 def q_text_quality(spark, sf_dir):
@@ -1136,6 +1221,10 @@ QUERIES = {
     "grok_parser": q_grok_parser,
     "ottl_map_editors": q_ottl_map_editors,
     "span_metrics": q_span_metrics,
+    "metrics_transform": q_metrics_transform,
+    "metrics_generation": q_metrics_generation,
+    "load_balancing": q_load_balancing,
+    "fan_in_union": q_fan_in_union,
     "exact_dedup": q_exact_dedup,
     "doc_fingerprint": q_doc_fingerprint,
     "text_quality": q_text_quality,
@@ -1184,6 +1273,10 @@ ORACLES = {
     "grok_parser": SQL_GROK_PARSER,
     "ottl_map_editors": SQL_OTTL_MAP_EDITORS,
     "span_metrics": SQL_SPAN_METRICS,
+    "metrics_transform": SQL_METRICS_TRANSFORM,
+    "metrics_generation": SQL_METRICS_GENERATION,
+    "load_balancing": SQL_LOAD_BALANCING,
+    "fan_in_union": SQL_FAN_IN_UNION,
     "exact_dedup": SQL_EXACT_DEDUP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "text_quality": SQL_TEXT_QUALITY,
