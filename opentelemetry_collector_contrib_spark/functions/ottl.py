@@ -41,7 +41,7 @@ TOKEN_RE = re.compile(
   | (?P<float>-?\d+\.\d+)
   | (?P<int>-?\d+)
   | (?P<string>"(?:[^"\\]|\\.)*")
-  | (?P<op>==|!=|<=|>=|<|>|\+|-|\*|/|%|\(|\)|\[|\]|,|\.)
+  | (?P<op>==|!=|<=|>=|=>|<|>|\+|-|\*|/|%|\(|\)|\[|\]|,|\.)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
 """,
     re.VERBOSE,
@@ -97,6 +97,17 @@ class BinOp:
 @dataclass
 class Not:
     expr: object
+
+
+@dataclass
+class Lambda:
+    formals: list  # list[str]; "_" = blank
+    body: object
+
+
+@dataclass
+class ListNode:
+    items: list  # AST nodes; elements may be any expression
 
 
 @dataclass
@@ -187,15 +198,46 @@ class Parser:
     def unary(self):
         t = self.peek()
         if t and t.text == "(":
+            lam = self._try_lambda()
+            if lam is not None:
+                return lam
             self.next()
             e = self.or_expr()
             self.expect(")")
             return e
         return self.term()
 
+    def _try_lambda(self):
+        """``(k, v) => body`` / ``(acc, _, v) => body`` (LambdaExpression,
+        pkg/ottl/lambda.go; ``_`` is the blank formal). Backtracks on
+        non-lambda parens."""
+        start = self.i
+        self.next()  # '('
+        formals = []
+        while True:
+            t = self.peek()
+            if t is None or t.kind != "ident":
+                self.i = start
+                return None
+            formals.append(self.next().text)
+            t = self.peek()
+            if t and t.text == ",":
+                self.next()
+                continue
+            break
+        if not (self.peek() and self.peek().text == ")"):
+            self.i = start
+            return None
+        self.next()  # ')'
+        if not (self.peek() and self.peek().text == "=>"):
+            self.i = start
+            return None
+        self.next()  # '=>'
+        return Lambda(formals, self.or_expr())
+
     def term(self):
         t = self.next()
-        if t.text == "[":  # list literal (LANGUAGE.md lists): ["a", "b", 1]
+        if t.text == "[":  # list expr (LANGUAGE.md lists): ["a", body, Int(x)]
             items = []
             if self.peek() and self.peek().text != "]":
                 items.append(self.or_expr())
@@ -203,9 +245,9 @@ class Parser:
                     self.next()
                     items.append(self.or_expr())
             self.expect("]")
-            if not all(isinstance(i, Lit) for i in items):
-                raise ValueError("list literals support only literal elements")
-            return Lit([i.value for i in items])
+            if all(isinstance(i, Lit) for i in items):
+                return Lit([i.value for i in items])
+            return ListNode(items)
         if t.kind == "string":
             return Lit(t.text[1:-1].encode().decode("unicode_escape"))
         if t.kind == "int":
@@ -346,7 +388,19 @@ def build_registry(error_mode: str = "ignore") -> dict:
         "IsString": lambda c: c.cast("string").isNotNull() | c.isNull(),
         "IsEmpty": lambda c: (F.length(c.cast("string")) == 0) | c.isNull(),
         # string
-        "Concat": lambda sep, *cs: F.concat_ws(sep if isinstance(sep, str) else "", *cs),
+        # reference form Concat([vals], delimiter) (func_concat.go:15-18);
+        # legacy varargs form Concat(delim, v1, v2, ...) kept for back-compat
+        "Concat": lambda a, *rest: (
+            F.concat_ws(
+                _as_py(rest[0]) if rest else "",
+                *[v if isinstance(v, Column) else F.lit(v) for v in a],
+            )
+            if isinstance(a, list)
+            else F.concat_ws(
+                a if isinstance(a, str) else "",
+                *[v if isinstance(v, Column) else F.lit(v) for v in rest],
+            )
+        ),
         "Format": lambda fmt, *cs: F.format_string(_as_py(fmt), *cs),
         "Split": lambda c, d: F.split(c, re.escape(_as_py(d))),
         "Substring": lambda c, s, n: F.substring(c, _as_py(s) + 1, _as_py(n)),
@@ -605,7 +659,7 @@ def _duration_unit(d: str) -> str:
 # Positions whose arguments must stay python literals (format strings, regex
 # patterns, delimiters, offsets) — everything else is lifted to Column.
 LITERAL_ARG_POSITIONS: dict[str, frozenset[int]] = {
-    "Concat": frozenset([0]),
+    "Concat": frozenset([0, 1]),
     "Format": frozenset([0]),
     "Split": frozenset([1]),
     "Substring": frozenset([1, 2]),
@@ -643,18 +697,28 @@ class Compiler:
         self.resolver = resolver or PathResolver()
         self.registry = build_registry(error_mode)
         self.error_mode = error_mode
+        self._locals: dict[str, Column] = {}  # lambda formal bindings
 
     def compile_value(self, node) -> Column | object:
         """AST value → Column (or python literal for literal-arg functions)."""
         if isinstance(node, Lit):
             return node.value
         if isinstance(node, Path):
+            if (
+                self._locals
+                and len(node.parts) == 1
+                and isinstance(node.parts[0], str)
+                and node.parts[0] in self._locals
+            ):
+                return self._locals[node.parts[0]]
             return self.resolver.resolve(node)
         if isinstance(node, Call):
             # static type predicates: resolved from the DataFrame schema, not
             # at runtime — the flat model's column types are fixed (§1.3)
             if node.name in _TYPE_PREDICATES and len(node.args) == 1:
                 return self._type_predicate(node)
+            if node.name in ("Filter", "MapEach", "All", "Any", "Reduce"):
+                return self._lambda_call(node)
             fn = self.registry.get(node.name)
             if fn is None:
                 raise ValueError(f"unsupported OTTL converter {node.name!r}")
@@ -665,6 +729,8 @@ class Compiler:
                 for i, a in enumerate(args)
             ]
             return fn(*conv)
+        if isinstance(node, ListNode):
+            return [self.compile_value(i) for i in node.items]
         if isinstance(node, BinOp):
             return self._binop(node)
         if isinstance(node, Not):
@@ -673,6 +739,84 @@ class Compiler:
 
     def _as_col(self, v) -> Column:
         return v if isinstance(v, Column) else F.lit(v)
+
+    def _with_locals(self, bindings: dict, body) -> Column:
+        """Compile a lambda body with formals bound (``_`` never binds)."""
+        prev = self._locals
+        self._locals = {**prev, **{k: v for k, v in bindings.items() if k != "_"}}
+        try:
+            return self._as_col(self.compile_value(body))
+        finally:
+            self._locals = prev
+
+    def _arg_is_map(self, node) -> bool:
+        if isinstance(node, Path):
+            name = self.resolver.column_name(node)
+            return self.resolver.dtypes.get(name, "").startswith("map<")
+        if isinstance(node, Lit):
+            return isinstance(node.value, dict)
+        return False
+
+    def _lambda_call(self, node: Call) -> Column:
+        """Filter / MapEach / All / Any / Reduce with OTTL lambdas
+        (func_filter.go, func_map_each.go, func_all.go, func_any.go,
+        func_reduce.go) → Spark higher-order functions. Slice lambdas bind
+        (index, value); map lambdas (key, value); Reduce prepends acc."""
+        name = node.name
+        coll_node = node.args[0]
+        is_map = self._arg_is_map(coll_node)
+        coll = self._as_col(self.compile_value(coll_node))
+
+        if name == "Reduce":
+            init = self._as_col(self.compile_value(node.args[1]))
+            lam = node.args[2]
+            if len(lam.formals) != 3:
+                raise ValueError("Reduce lambda takes (acc, key/index, value)")
+            if is_map:
+                entries = F.map_entries(coll)
+            else:
+                entries = F.transform(
+                    coll,
+                    lambda v, i: F.struct(
+                        i.cast("long").alias("key"), v.alias("value")
+                    ),
+                )
+            return F.aggregate(
+                entries,
+                init,
+                lambda acc, e: self._with_locals(
+                    {lam.formals[0]: acc, lam.formals[1]: e["key"], lam.formals[2]: e["value"]},
+                    lam.body,
+                ),
+            )
+
+        lam = node.args[1]
+        if len(lam.formals) != 2:
+            raise ValueError(f"{name} lambda takes (key/index, value)")
+        k_name, v_name = lam.formals
+        if is_map:
+            def pred(k, v):
+                return self._with_locals({k_name: k, v_name: v}, lam.body)
+
+            if name == "Filter":
+                return F.map_filter(coll, pred)
+            if name == "MapEach":  # map → slice of per-entry results
+                return F.transform(
+                    F.map_entries(coll), lambda e: pred(e["key"], e["value"])
+                )
+            kept = F.size(F.map_keys(F.map_filter(coll, pred)))
+            total = F.size(F.map_keys(coll))
+            return (kept == total) if name == "All" else (kept > 0)
+
+        def bind(v, i):
+            return self._with_locals({k_name: i.cast("long"), v_name: v}, lam.body)
+
+        if name == "Filter":
+            return F.filter(coll, bind)
+        if name == "MapEach":
+            return F.transform(coll, bind)
+        kept = F.size(F.filter(coll, bind))
+        return (kept == F.size(coll)) if name == "All" else (kept > 0)
 
     def _type_predicate(self, node: Call) -> Column:
         """IsBool/IsInt/IsDouble/IsString/IsList/IsMap on a path: look the
