@@ -948,6 +948,54 @@ FROM events GROUP BY event_type
 """
 
 
+def q_resource_detection(spark, sf_dir):
+    """resourcedetectionprocessor: driver-side detected resource merged into
+    every row as constant columns (override=false keeps existing values)."""
+    from ..operators import enrich
+
+    df = _t(spark, sf_dir, "events").withColumn(
+        "host_name", F.when(F.col("event_id") % 10 == 0, "pre-set-host")
+    )
+    df = enrich.resource_detection(
+        df, {"cloud_provider": "aws", "cloud_region": "us-east-1", "host_name": "detected-host"}
+    )
+    return df.groupBy("cloud_provider", "cloud_region", "host_name").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_RESOURCE_DETECTION = """
+SELECT 'aws' AS cloud_provider, 'us-east-1' AS cloud_region,
+       CASE WHEN event_id % 10 = 0 THEN 'pre-set-host' ELSE 'detected-host' END AS host_name,
+       count(*) AS n
+FROM events GROUP BY 3
+"""
+
+
+def q_attributes_extract(spark, sf_dir):
+    """attributesprocessor extract action (attraction.go:116-144): regex
+    named groups → new attribute columns, plus convert action."""
+    df = _t(spark, sf_dir, "events").withColumn(
+        "path", F.format_string("/api/%s/%s", F.col("event_type"), F.col("event_id"))
+    )
+    df = processors.attributes_actions(
+        df,
+        [
+            {"action": "extract", "key": "path",
+             "pattern": r"/api/(?P<svc>\w+)/(?P<req_id>\d+)"},
+            {"action": "convert", "key": "req_id", "converted_type": "bigint"},
+            {"action": "upsert", "key": "env", "value": "prod"},
+        ],
+    )
+    return df.select("event_id", "svc", "req_id", "env")
+
+
+SQL_ATTRIBUTES_EXTRACT = """
+SELECT event_id, event_type AS svc, event_id AS req_id, 'prod' AS env
+FROM events
+"""
+
+
 def q_metrics_transform(spark, sf_dir):
     """metricstransformprocessor: rename + scale + aggregate-across-labels
     (README operations table) on the events 'metric' stream."""
@@ -1221,6 +1269,8 @@ QUERIES = {
     "grok_parser": q_grok_parser,
     "ottl_map_editors": q_ottl_map_editors,
     "span_metrics": q_span_metrics,
+    "resource_detection": q_resource_detection,
+    "attributes_extract": q_attributes_extract,
     "metrics_transform": q_metrics_transform,
     "metrics_generation": q_metrics_generation,
     "load_balancing": q_load_balancing,
@@ -1273,6 +1323,8 @@ ORACLES = {
     "grok_parser": SQL_GROK_PARSER,
     "ottl_map_editors": SQL_OTTL_MAP_EDITORS,
     "span_metrics": SQL_SPAN_METRICS,
+    "resource_detection": SQL_RESOURCE_DETECTION,
+    "attributes_extract": SQL_ATTRIBUTES_EXTRACT,
     "metrics_transform": SQL_METRICS_TRANSFORM,
     "metrics_generation": SQL_METRICS_GENERATION,
     "load_balancing": SQL_LOAD_BALANCING,

@@ -53,6 +53,41 @@ class LineageLog:
         safe = fingerprint.replace("/", "_")
         return os.path.join(self.root, "_lineage", f"{stage}__{safe}.json")
 
+    # ---- per-partition (per input file) checkpoints -------------------
+    # The filelog receiver checkpoints {Fingerprint, Offset} PER FILE after
+    # every poll (reader.go:30-40); the Spark analog is one committed record
+    # per input file: fingerprint = (path, size) — rename-stable like the
+    # reference's content fingerprint, cheap to compute from a listing.
+
+    @staticmethod
+    def file_fingerprint(path: str) -> str:
+        st = os.stat(path)
+        return f"{os.path.basename(path)}:{st.st_size}"
+
+    def files_done(self, stage: str) -> set[str]:
+        d = os.path.join(self.root, "_lineage")
+        out = set()
+        for f in os.listdir(d):
+            if f.startswith(f"{stage}@") and f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out.add(json.load(fh)["fingerprint"])
+        return out
+
+    def commit_file(self, stage: str, fingerprint: str, rows_in: int, rows_out: int) -> None:
+        rec = {
+            "stage": stage,
+            "fingerprint": fingerprint,
+            "rows_in": rows_in,
+            "rows_out": rows_out,
+            "wall_ts": time.time(),
+        }
+        safe = fingerprint.replace("/", "_").replace(":", "_")
+        p = os.path.join(self.root, "_lineage", f"{stage}@{safe}.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, p)
+
     def as_dataframe(self, spark: SparkSession) -> DataFrame:
         d = os.path.join(self.root, "_lineage")
         files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".json")]
