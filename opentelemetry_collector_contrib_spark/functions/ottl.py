@@ -848,6 +848,11 @@ class Compiler:
             return (l & r) if node.op == "and" else (l | r)
         l = self.compile_value(node.left)
         r = self.compile_value(node.right)
+        # OTTL nil comparison (grammar.go nil literal): `x == nil` / `x != nil`
+        # is a null CHECK, not SQL three-valued equality (col != NULL ⇒ null)
+        if node.op in ("==", "!=") and (l is None or r is None):
+            target = self._as_col(r if l is None else l)
+            return target.isNull() if node.op == "==" else target.isNotNull()
         lc, rc = self._as_col(l), self._as_col(r)
         ops = {
             "==": lambda a, b: a == b,
