@@ -130,3 +130,100 @@ def streaming_logdedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_recombine(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    schema: str = "source string, doc_id long, body string",
+    first_marker: str = "START",
+    combine_with: str = "\n",
+    force_flush_ms: int = 5000,
+):
+    """``recombine`` as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState``) — the stretch form from SURVEY §7 step 9.
+
+    The reference buffers partial multiline entries per source and flushes
+    when the next first-line arrives, the batch cap hits, or
+    ``force_flush_period`` (default 5s) elapses
+    (``transformer/recombine/config.go:40-62``). Here the per-source group
+    state holds the OPEN session (start id + joined partial); each
+    micro-batch appends rows in order, emits every session closed by a new
+    first-line, and a processing-time timeout flushes a session left open
+    across polls — exactly the force-flush semantics.
+
+    Returns the started query; output rows (source, doc_id, body,
+    recombined_n) append to ``out_dir/recombined``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("source", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("body", StringType()),
+            StructField("recombined_n", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_id", LongType()),
+            StructField("parts", ArrayType(StringType())),
+        ]
+    )
+
+    def merge(key, pdf_iter, state: GroupState):
+        source = key[0]
+        if state.hasTimedOut:
+            # force_flush_period elapsed with an open session → emit it
+            start_id, parts = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"source": source, "doc_id": start_id, "body": combine_with.join(parts),
+                  "recombined_n": len(parts)}]
+            )
+            return
+        start_id, parts = state.get if state.exists else (None, [])
+        parts = list(parts)
+        done = []
+        rows = pd.concat(list(pdf_iter)).sort_values("doc_id")
+        for _, r in rows.iterrows():
+            body = r["body"]
+            if body.startswith(first_marker) and parts:
+                done.append((start_id, parts))
+                parts = []
+                start_id = None
+            if start_id is None:
+                start_id = int(r["doc_id"])
+            parts.append(body)
+        if parts:
+            state.update((start_id, parts))
+            state.setTimeoutDuration(force_flush_ms)
+        elif state.exists:
+            state.remove()
+        if done:
+            yield pd.DataFrame(
+                [{"source": source, "doc_id": s, "body": combine_with.join(p),
+                  "recombined_n": len(p)} for s, p in done]
+            )
+
+    raw = spark.readStream.schema(schema).parquet(input_path)
+    merged = raw.groupBy("source").applyInPandasWithState(
+        merge, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(os.path.join(out_dir, "recombined"))
+
+    return (
+        merged.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_ck_recombine"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -65,3 +65,43 @@ def test_streaming_logdedup_windows(spark, stream_input, tmp_path):
     # windows align to 10s boundaries
     mis = dd.filter(F.unix_timestamp("window_start") % 10 != 0).count()
     assert mis == 0
+
+
+def test_streaming_recombine_stateful(spark, tmp_path):
+    """applyInPandasWithState recombine: sessions closed by the next
+    first-line are emitted; the trailing open session stays in state (flushes
+    on force_flush timeout / a later poll — reference force_flush_period)."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_spark.streaming.stream import streaming_recombine
+
+    inp = tmp_path / "rc_in"
+    inp.mkdir()
+    rows = []
+    for src in ("svcA", "svcB"):
+        base = 0 if src == "svcA" else 100
+        rows += [
+            (src, base + 0, "START req handled"),
+            (src, base + 1, "  detail line 1"),
+            (src, base + 2, "  detail line 2"),
+            (src, base + 3, "START second"),
+            (src, base + 4, "  tail"),
+            (src, base + 5, "START closer"),  # closes 'second'
+        ]
+    pd.DataFrame(rows, columns=["source", "doc_id", "body"]).to_parquet(inp / "a.parquet")
+
+    out = str(tmp_path / "rc_out")
+    q = streaming_recombine(spark, str(inp), out)
+    q.awaitTermination(120)
+
+    got = {
+        (r.source, r.doc_id): (r.body, r.recombined_n)
+        for r in spark.read.parquet(out + "/recombined").collect()
+    }
+    for src, base in (("svcA", 0), ("svcB", 100)):
+        assert got[(src, base)] == (
+            "START req handled\n  detail line 1\n  detail line 2", 3)
+        assert got[(src, base + 3)] == ("START second\n  tail", 2)
+        # trailing open session: force_flush timeout fires before the
+        # availableNow query drains (reference force_flush_period flush)
+        assert got[(src, base + 5)] == ("START closer", 1)
