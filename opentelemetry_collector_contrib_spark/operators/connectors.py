@@ -140,9 +140,9 @@ def sum_connector(
     """
     cur = df if condition is None else df.filter(condition)
     cur = cur.filter(F.col(source_attribute).isNotNull())
-    return cur.groupBy(*dimensions).agg(
-        F.sum(F.col(source_attribute).cast("double")).alias(name)
-    )
+    # Sum in the column's own type: a decimal input stays exact (and
+    # partition-order independent); callers choose the type they need.
+    return cur.groupBy(*dimensions).agg(F.sum(F.col(source_attribute)).alias(name))
 
 
 def load_balancing_bucket(

@@ -248,17 +248,20 @@ GROUP BY event_type
 
 
 def q_sum_connector(spark, sf_dir):
-    """sumconnector (config.go:32-34): sum numeric attr per dims (decimal for
-    cross-engine exactness)."""
+    """sumconnector (config.go:32-34): sum numeric attr per dims. Sum runs in
+    exact decimal; the compared column is bigint cents (decimal stringification
+    differs across engines, integers don't)."""
     df = _t(spark, sf_dir, "events").withColumn(
         "value_dec", F.col("value").cast("decimal(18,2)")
     )
     out = connectors.sum_connector(df, "value_dec", ["event_type"], name="total")
-    return out.select("event_type", F.col("total").cast("decimal(18,2)").alias("total"))
+    return out.select(
+        "event_type", (F.col("total") * 100).cast("bigint").alias("total_cents")
+    )
 
 
 SQL_SUM_CONNECTOR = """
-SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
 FROM events GROUP BY event_type
 """
 
@@ -376,8 +379,8 @@ def q_tpch_q1_pricing(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            (F.sum(dec("l_quantity")) * 100).cast("bigint").alias("sum_qty_cents"),
+            (F.sum(dec("l_extendedprice")) * 100).cast("bigint").alias("sum_base_cents"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -385,8 +388,8 @@ def q_tpch_q1_pricing(spark, sf_dir):
 
 SQL_TPCH_Q1_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_cents,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -400,22 +403,24 @@ def q_cumulative_to_delta(spark, sf_dir):
     """cumulativetodelta (processor.go:93-116): per-series value - lag."""
     from ..operators import metrics
 
-    df = _t(spark, sf_dir, "events")
+    df = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
     out = metrics.cumulative_to_delta(df, ["user_id", "event_type"], "event_id", "value")
     return out.select(
         "event_id", "user_id", "event_type",
-        F.col("delta").cast("decimal(18,2)").alias("delta"),
+        (F.col("delta") * 100).cast("bigint").alias("delta_cents"),
     )
 
 
 SQL_CUMULATIVE_TO_DELTA = """
 WITH s AS (
-  SELECT event_id, user_id, event_type, value,
-         lag(value) OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS prev
+  SELECT event_id, user_id, event_type, CAST(value AS DECIMAL(18,2)) AS value,
+         lag(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS prev
   FROM events
 )
 SELECT event_id, user_id, event_type,
-       CAST(value - prev AS DECIMAL(18,2)) AS delta
+       CAST((value - prev) * 100 AS BIGINT) AS delta_cents
 FROM s WHERE prev IS NOT NULL
 """
 
@@ -429,7 +434,8 @@ def q_delta_to_cumulative(spark, sf_dir):
     )
     out = metrics.delta_to_cumulative(df, ["user_id"], "event_id", "value")
     return out.select(
-        "event_id", "user_id", F.col("cumulative").cast("decimal(18,2)").alias("cumulative")
+        "event_id", "user_id",
+        (F.col("cumulative") * 100).cast("bigint").alias("cumulative_cents"),
     )
 
 
@@ -437,7 +443,7 @@ SQL_DELTA_TO_CUMULATIVE = """
 SELECT event_id, user_id,
        CAST(SUM(CAST(value AS DECIMAL(18,2)))
             OVER (PARTITION BY user_id ORDER BY event_id
-                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS cumulative
+                  ROWS UNBOUNDED PRECEDING) * 100 AS BIGINT) AS cumulative_cents
 FROM events
 """
 
@@ -452,7 +458,7 @@ def q_interval_last(spark, sf_dir):
     return out.select(
         F.unix_timestamp("window_start").alias("win_start"),
         "event_type",
-        F.col("last_value").cast("decimal(18,2)").alias("last_value"),
+        (F.col("last_value").cast("decimal(18,2)") * 100).cast("bigint").alias("last_cents"),
         "points_merged",
     )
 
@@ -464,7 +470,8 @@ WITH s AS (
          count(*) OVER (PARTITION BY floor(epoch(ts) / 3600), event_type) AS points_merged
   FROM events
 )
-SELECT win_start, event_type, CAST(value AS DECIMAL(18,2)) AS last_value, points_merged
+SELECT win_start, event_type,
+       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS last_cents, points_merged
 FROM s WHERE rn = 1
 """
 
@@ -927,7 +934,7 @@ def q_span_metrics(spark, sf_dir):
         df.groupBy(F.col("event_type").alias("span_name"))
         .agg(
             F.count(F.lit(1)).alias("calls"),
-            F.sum(dur.cast("decimal(18,2)")).alias("duration_sum"),
+            (F.sum(dur.cast("decimal(18,2)")) * 100).cast("bigint").alias("duration_sum_cents"),
             F.sum((dur <= 50).cast("long")).alias("le_50"),
             F.sum(((dur > 50) & (dur <= 100)).cast("long")).alias("le_100"),
             F.sum(((dur > 100) & (dur <= 200)).cast("long")).alias("le_200"),
@@ -939,7 +946,7 @@ def q_span_metrics(spark, sf_dir):
 SQL_SPAN_METRICS = """
 SELECT event_type AS span_name,
        count(*) AS calls,
-       sum(CAST(value AS DECIMAL(18,2))) AS duration_sum,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS duration_sum_cents,
        CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS le_50,
        CAST(sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS le_100,
        CAST(sum(CASE WHEN value > 100 AND value <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS le_200,
@@ -1012,13 +1019,17 @@ def q_metrics_transform(spark, sf_dir):
         aggregate_across=["metric_name"],
         agg_type="sum",
     )
-    return out.select("metric_name", "value", "points_merged")
+    return out.select(
+        "metric_name",
+        (F.col("value") * 100).cast("bigint").alias("value_cents"),
+        "points_merged",
+    )
 
 
 SQL_METRICS_TRANSFORM = """
 SELECT CASE WHEN event_type = 'error' THEN 'evt.failure'
             ELSE 'evt.' || event_type END AS metric_name,
-       sum(CAST(value AS DECIMAL(18,2))) AS value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents,
        count(*) AS points_merged
 FROM events GROUP BY 1
 """
@@ -1217,12 +1228,34 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_embedding_dedup_pairs(spark, sf_dir):
-    """Embedding near-duplicate pairs via LSH band join + cosine verify
-    (rows-only)."""
+    """Embedding near-duplicate pairs via LSH band join + cosine verify.
+
+    The synthetic embeddings have no natural pairs above ~0.52 cosine, so the
+    query plants deterministic exact duplicates (every 10th vector, id+10^6)
+    — the dedup target the operator must recover. Identical vectors share
+    every LSH band, so recall is exactly 1.0 and the brute-force DuckDB
+    oracle matches the banded-join + Arrow-cosine-verify pipeline."""
     from ..operators import similarity
 
-    emb = _t(spark, sf_dir, "embeddings").limit(1000)
-    return similarity.all_pairs_above(emb, threshold=0.95, bits=16, bands=8)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    dup = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    both = emb.unionByName(dup)
+    return similarity.all_pairs_above(both, threshold=0.95, bits=16, bands=8)
+
+
+SQL_EMBEDDING_DEDUP_PAIRS = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+     du AS (SELECT vec_id + 1000000 AS vec_id, embedding FROM e WHERE vec_id % 10 = 0),
+     allv AS (SELECT * FROM e UNION ALL SELECT * FROM du)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.95
+"""
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1335,6 +1368,7 @@ ORACLES = {
     "lang_id_stopword": SQL_LANG_ID_STOPWORD,
     "token_count": SQL_TOKEN_COUNT,
     "cosine_topk": SQL_COSINE_TOPK,
+    "embedding_dedup_pairs": SQL_EMBEDDING_DEDUP_PAIRS,
     # minhash_lsh / simhash / ngram_jaccard: intentionally no oracle —
     # xxhash64-based, verified in tests/test_dedup.py instead.
 }
