@@ -418,7 +418,9 @@ def build_registry(error_mode: str = "ignore") -> dict:
         ),
         "Split": lambda c, d: F.split(c, re.escape(_as_py(d))),
         "Substring": lambda c, s, n: F.substring(c, _as_py(s) + 1, _as_py(n)),
-        "Trim": lambda c, *ch: F.trim(c),
+        # func_trim.go: strings.Trim(val, cutset) — 2nd arg is a SET of
+        # characters stripped from both ends (default " ")
+        "Trim": lambda c, *ch: _trim_cutset(c, _as_py(ch[0])) if ch else F.trim(c),
         "TrimPrefix": lambda c, p: F.regexp_replace(c, "^" + re.escape(_as_py(p)), ""),
         "TrimSuffix": lambda c, s: F.regexp_replace(c, re.escape(_as_py(s)) + "$", ""),
         "ToLowerCase": F.lower,
@@ -526,18 +528,34 @@ def build_registry(error_mode: str = "ignore") -> dict:
             ),
             _as_py(p),
         ),
-        # xml family via xpath (func_get_xml.go / func_parse_xml.go subset)
-        "GetXML": lambda c, xp: F.xpath_string(c, F.lit(_as_py(xp))),
-        # user agent (func_useragent.go): minimal browser/os extraction
+        # xml family (func_get_xml.go, func_parse_xml.go,
+        # func_parse_simplified_xml.go, func_insert_xml.go,
+        # func_remove_xml.go, func_convert_*_xml.go) — document rewrites via
+        # Arrow-batched UDFs in functions/xmlfuncs.py; ParseXML /
+        # ParseSimplifiedXML return the dynamic map as a JSON string
+        "GetXML": lambda c, xp: _xml().get_xml(c, _as_py(xp)),
+        "ParseXML": lambda c: _xml().parse_xml(c),
+        "ParseSimplifiedXML": lambda c: _xml().parse_simplified_xml(c),
+        "InsertXML": lambda c, xp, sub: _xml().insert_xml(c, _as_py(xp), sub),
+        "RemoveXML": lambda c, xp: _xml().remove_xml(c, _as_py(xp)),
+        "ConvertAttributesToElementsXML": lambda c, *xp: _xml().convert_attributes_to_elements_xml(
+            c, _as_py(xp[0]) if xp else "//@*"
+        ),
+        "ConvertTextToElementsXML": lambda c, *a: _xml().convert_text_to_elements_xml(
+            c,
+            _as_py(a[0]) if len(a) > 0 else "/",
+            _as_py(a[1]) if len(a) > 1 else "value",
+        ),
+        # user agent (func_useragent.go): minimal browser/os extraction.
+        # regexp_extract returns "" (not null) on no match, so the ua-parser
+        # "Other" fallback needs a length check, not coalesce.
         "UserAgent": lambda c: F.struct(
-            F.coalesce(
-                F.regexp_extract(c, r"(Firefox|Chrome|Safari|Edge|MSIE|Opera|curl|wget)[/ ]?([\d.]*)", 1),
-                F.lit("Other"),
+            _or_other(
+                F.regexp_extract(c, r"(Firefox|Chrome|Safari|Edge|MSIE|Opera|curl|wget)[/ ]?([\d.]*)", 1)
             ).alias("user_agent_name"),
             F.regexp_extract(c, r"(?:Firefox|Chrome|Safari|Edge|MSIE|Opera|curl|wget)[/ ]?([\d.]*)", 1).alias("user_agent_version"),
-            F.coalesce(
-                F.regexp_extract(c, r"\((Windows NT [\d.]+|Macintosh|Linux|Android [\d.]*|iPhone)", 1),
-                F.lit("Other"),
+            _or_other(
+                F.regexp_extract(c, r"\((Windows NT [\d.]+|Macintosh|Linux|Android [\d.]*|iPhone)", 1)
             ).alias("os_name"),
         ),
     }
@@ -691,6 +709,24 @@ def _jre(pat) -> str:
     return java_regex(_as_py(pat))
 
 
+def _xml():
+    from . import xmlfuncs
+
+    return xmlfuncs
+
+
+def _or_other(extracted: Column) -> Column:
+    """ua-parser fallback: empty extraction → "Other" (regexp_extract yields
+    "" on no match, never null)."""
+    return F.when(F.length(extracted) == 0, F.lit("Other")).otherwise(extracted)
+
+
+def _trim_cutset(c: Column, cutset: str) -> Column:
+    """strings.Trim semantics: strip any leading/trailing chars in cutset."""
+    cls = re.escape(cutset)
+    return F.regexp_replace(c, f"^[{cls}]+|[{cls}]+$", "")
+
+
 def _strptime(fmt: str) -> str:
     from .timefmt import strptime_to_spark
 
@@ -707,9 +743,9 @@ def _duration_unit(d: str) -> str:
 # patterns, delimiters, offsets) — everything else is lifted to Column.
 LITERAL_ARG_POSITIONS: dict[str, frozenset[int]] = {
     "Concat": frozenset([0, 1]),
-    "Format": frozenset([0]),
     "Split": frozenset([1]),
     "Substring": frozenset([1, 2]),
+    "Trim": frozenset([1]),
     "TrimPrefix": frozenset([1]),
     "TrimSuffix": frozenset([1]),
     "Find": frozenset([1]),
@@ -729,6 +765,10 @@ LITERAL_ARG_POSITIONS: dict[str, frozenset[int]] = {
     "ParseCSV": frozenset([1]),
     "ToKeyValueString": frozenset([1, 2, 3]),
     "GetXML": frozenset([1]),
+    "InsertXML": frozenset([1]),
+    "RemoveXML": frozenset([1]),
+    "ConvertAttributesToElementsXML": frozenset([1]),
+    "ConvertTextToElementsXML": frozenset([1, 2]),
     "Decode": frozenset([1]),
     "Coalesce": frozenset([0]),  # list form: pass the compiled list through
     "Format": frozenset([0, 1]),  # (fmt, [args]) form
@@ -994,6 +1034,17 @@ class Compiler:
                 pat = _jre_str(pat)
                 repl_rx = re.sub(r"\$\$(\d)", r"$\1", repl)
             return guarded(target, F.regexp_replace(F.col(target), pat, repl_rx))
+        if name == "replace_all_matches":
+            # func_replace_all_matches.go: glob over map VALUES — a value
+            # fully matching the glob is replaced wholesale
+            target = self.resolver.column_name(ed.args[0])
+            glob = _as_py(self.compile_value(ed.args[1]))
+            repl = self._as_col(self.compile_value(ed.args[2]))
+            pat = "^" + re.escape(glob).replace(r"\*", ".*") + "$"
+            new = F.transform_values(
+                F.col(target), lambda k, v: F.when(v.rlike(pat), repl).otherwise(v)
+            )
+            return guarded(target, new)
         if name == "replace_all_patterns":
             target = self.resolver.column_name(ed.args[0])
             mode = _as_py(self.compile_value(ed.args[1]))  # "key" or "value"

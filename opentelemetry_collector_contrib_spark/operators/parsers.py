@@ -129,6 +129,42 @@ def json_parser(
     return _apply_on_error(df, err, on_error)
 
 
+def json_array_parser(
+    df: DataFrame,
+    parse_from: str = "body",
+    out: str = "parsed",
+    element_type: str = "string",
+    header: list[str] | None = None,
+    on_error: str = "send",
+) -> DataFrame:
+    """JSON array line → array column; with ``header`` the elements are
+    zipped into a map keyed by the header names.
+
+    Reference: ``pkg/stanza/operator/parser/jsonarray/parser.go:29`` (parse
+    to slice; the with-header config assigns keys like assign_keys).
+    """
+    arr = F.from_json(F.col(parse_from), f"array<{element_type}>")
+    err = F.col(parse_from).isNotNull() & arr.isNull()
+    if header:
+        df = df.withColumn(
+            out, F.map_from_arrays(F.array(*[F.lit(h) for h in header]), arr)
+        )
+    else:
+        df = df.withColumn(out, arr)
+    return _apply_on_error(df, err, on_error)
+
+
+def scope_name_parser(
+    df: DataFrame, parse_from: str, out: str = "scope_name"
+) -> DataFrame:
+    """Copy a field into the instrumentation scope name.
+
+    Reference: ``pkg/stanza/operator/parser/scope/parser.go:24``,
+    ``helper/scope_name.go:26``.
+    """
+    return df.withColumn(out, F.col(parse_from).cast("string"))
+
+
 def csv_parser(
     df: DataFrame,
     header: list[str],

@@ -18,7 +18,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # masking order matters: quoted strings first (may contain digits), then
@@ -69,59 +69,171 @@ def group_by_trace(
     return agg.withColumn("spans", F.transform("_sp", lambda s: s["span"])).drop("_sp")
 
 
+#: leaf policies whose predicate is evaluated per SPAN and OR-aggregated to
+#: the trace (hasSpanWithCondition, internal/sampling/util.go)
+_SPAN_LEVEL = (
+    "numeric_attribute",
+    "string_attribute",
+    "boolean_attribute",
+    "status_code",
+    "trace_state",
+    "ottl_condition",
+)
+
+#: combinators that carry sub-policies
+_COMBINATORS = ("and", "drop", "not", "composite")
+
+
 def tail_sampling(
     spans: DataFrame,
     policies: list[dict],
     trace_col: str = "trace_id",
     ts_col: str = "ts",
+    tracestate_col: str = "trace_state",
 ) -> DataFrame:
-    """Keep spans of traces matching ANY policy (OR across policies, the
-    reference's default combination).
+    """Keep spans of traces per the tailsamplingprocessor decision rule:
+    sampled by ANY top-level policy AND not Dropped (drop takes precedence
+    over every other decision, ``processor.go:307``).
 
-    Policy dicts:
+    Policy dicts (``internal/sampling/*.go``):
       {type: always}
-      {type: latency, threshold_ms: N}          — trace duration ≥ N
-      {type: numeric_attribute, key, min, max}  — any span in range
-      {type: string_attribute, key, values}     — any span matches
-      {type: status_code, values}               — any span status in set
-      {type: probabilistic, percent, seed}      — xxhash64(trace_id) bucket
+      {type: latency, threshold_ms, upper_threshold_ms?}      — latency.go:52-55
+        (strictly > threshold; with upper: threshold < d <= upper)
+      {type: numeric_attribute, key, min?, max?}              — any span in range
+      {type: string_attribute, key, values}                   — any span matches
+      {type: boolean_attribute, key, value}                   — boolean_tag_filter.go
+      {type: status_code, values, key?}                       — any span status in set
+      {type: trace_state, key, values}                        — W3C tracestate k=v
+      {type: ottl_condition, conditions: [str]}               — OTTL compiled, OR'd,
+        error_mode=ignore (ottl.go)
+      {type: span_count, min_spans, max_spans?}               — span_count_sampler.go:37-44
+      {type: probabilistic, percent, seed?}                   — xxhash64 bucket
+      {type: rate_limiting, spans_per_second}                 — rate_limiting.go; the
+        token bucket becomes a per-arrival-second quota: traces in arrival
+        order keep until the second's cumulative span count exceeds the rate
+        (deterministic + partition-parallel per second; documented divergence
+        from the continuous-refill bucket)
+      {type: and, policies: [...]}                            — all subs sample (and.go)
+      {type: not, policies: [p]}                              — invert sub (not.go)
+      {type: drop, policies: [...]}                           — Dropped iff ALL subs
+        sample; Dropped overrides any Sampled (drop.go)
+      {type: composite, max_total_sps, policies: [...],
+       rate_allocation?: [percent,...]}                       — first matching
+        sub-policy in order claims the trace against its per-second span
+        budget (composite.go rate allocation, batch form)
 
-    Decisions are per assembled trace (internal/sampling/*.go); the
-    keep-list is a broadcastable semi-join back onto spans when trace
-    cardinality allows, else a shuffle semi-join.
+    Decisions are per assembled trace; the keep-list semi-joins back onto
+    spans (broadcastable at realistic kept-trace cardinality).
     """
+    # ---- collect span-level leaf predicates (flag id per leaf dict) ----
+    span_flags: list[tuple[str, Column]] = []
+    flag_of: dict[int, str] = {}
+
+    def collect(p: dict) -> None:
+        t = p["type"]
+        if t in _SPAN_LEVEL:
+            name = f"_p{len(span_flags)}"
+            span_flags.append((name, _span_pred(p, spans, tracestate_col)))
+            flag_of[id(p)] = name
+        elif t in _COMBINATORS:
+            for sp in p["policies"]:
+                collect(sp)
+
+    for p in policies:
+        collect(p)
+
+    ts = F.col(ts_col).cast("timestamp")
     per_trace = spans.groupBy(trace_col).agg(
-        ((F.unix_micros(F.max(ts_col).cast("timestamp")) - F.unix_micros(F.min(ts_col).cast("timestamp"))) / 1000.0).alias("_dur_ms"),
-        *[
-            F.max(
-                _span_pred(p)
-                .cast("int")
-            ).alias(f"_p{i}")
-            for i, p in enumerate(policies)
-            if p["type"] in ("numeric_attribute", "string_attribute", "status_code")
-        ],
+        ((F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))) / 1000.0).alias("_dur_ms"),
+        F.count(F.lit(1)).alias("_span_count"),
+        F.min(ts).alias("_arrival"),
+        *[F.max(pred.cast("int")).alias(name) for name, pred in span_flags],
     )
-    keep = None
-    pi = 0
-    for i, p in enumerate(policies):
+
+    def ev(p: dict) -> Column:
+        """Per-trace Sampled condition for one policy."""
         t = p["type"]
         if t == "always":
-            cond = F.lit(True)
-        elif t == "latency":
-            cond = F.col("_dur_ms") >= p["threshold_ms"]
-        elif t == "probabilistic":
+            return F.lit(True)
+        if t == "latency":
+            d = F.col("_dur_ms")
+            upper = p.get("upper_threshold_ms", 0)
+            if upper:
+                return (d > p["threshold_ms"]) & (d <= upper)
+            return d > p["threshold_ms"]
+        if t == "span_count":
+            c = F.col("_span_count")
+            mx = p.get("max_spans", 0)
+            return (c >= p["min_spans"]) & ((c <= mx) if mx else F.lit(True))
+        if t == "probabilistic":
             threshold = int(p["percent"] / 100.0 * 16384)
-            cond = F.pmod(F.xxhash64(F.col(trace_col), F.lit(p.get("seed", 1))), F.lit(16384)) < threshold
-        elif t in ("numeric_attribute", "string_attribute", "status_code"):
-            cond = F.col(f"_p{i}") == 1
+            return (
+                F.pmod(F.xxhash64(F.col(trace_col), F.lit(p.get("seed", 1))), F.lit(16384))
+                < threshold
+            )
+        if t in _SPAN_LEVEL:
+            return F.col(flag_of[id(p)]) == 1
+        if t == "rate_limiting":
+            sps = p["spans_per_second"]
+            second = F.unix_timestamp(F.col("_arrival"))
+            w = (
+                Window.partitionBy(second)
+                .orderBy(F.col("_arrival"), F.col(trace_col))
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            return F.sum("_span_count").over(w) <= sps
+        if t == "and":
+            cond = F.lit(True)
+            for sp in p["policies"]:
+                cond = cond & ev(sp)
+            return cond
+        if t == "not":
+            return ~ev(p["policies"][0])
+        if t == "composite":
+            subs = p["policies"]
+            sub_conds = [ev(sp) for sp in subs]
+            pct = p.get("rate_allocation") or [100.0 / len(subs)] * len(subs)
+            budgets = [p["max_total_sps"] * x / 100.0 for x in pct]
+            assigned = F.lit(None).cast("int")
+            for i in reversed(range(len(subs))):
+                assigned = F.when(sub_conds[i], F.lit(i)).otherwise(assigned)
+            second = F.unix_timestamp(F.col("_arrival"))
+            w = (
+                Window.partitionBy(second, assigned)
+                .orderBy(F.col("_arrival"), F.col(trace_col))
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            cum = F.sum("_span_count").over(w)
+            budget = F.lit(None).cast("double")
+            for i in reversed(range(len(subs))):
+                budget = F.when(assigned == i, F.lit(budgets[i])).otherwise(budget)
+            return assigned.isNotNull() & (cum <= budget)
+        raise ValueError(f"unknown policy {t!r}")
+
+    sampled = None
+    dropped = None
+    for p in policies:
+        if p["type"] == "drop":
+            # Dropped iff ALL sub-policies sample (drop.go:33-46)
+            cond = F.lit(True)
+            for sp in p["policies"]:
+                cond = cond & ev(sp)
+            dropped = cond if dropped is None else (dropped | cond)
         else:
-            raise ValueError(f"unknown policy {t!r}")
-        keep = cond if keep is None else (keep | cond)
-    kept_ids = per_trace.filter(keep).select(trace_col)
+            c = ev(p)
+            sampled = c if sampled is None else (sampled | c)
+    keep = sampled if sampled is not None else F.lit(False)
+    if dropped is not None:
+        keep = keep & ~dropped
+    # window-backed policies (rate_limiting/composite) can't sit in a WHERE:
+    # materialize the decision column, then filter
+    kept_ids = (
+        per_trace.withColumn("_keep", keep).filter(F.col("_keep")).select(trace_col)
+    )
     return spans.join(kept_ids, trace_col, "left_semi")
 
 
-def _span_pred(p: dict) -> Column:
+def _span_pred(p: dict, spans: DataFrame, tracestate_col: str) -> Column:
     t = p["type"]
     if t == "numeric_attribute":
         c = F.col(p["key"]).cast("double")
@@ -133,6 +245,24 @@ def _span_pred(p: dict) -> Column:
         return cond & c.isNotNull()
     if t == "string_attribute":
         return F.col(p["key"]).isin(p["values"])
+    if t == "boolean_attribute":
+        return F.col(p["key"]).cast("boolean") == bool(p["value"])
     if t == "status_code":
         return F.col(p.get("key", "status_code")).isin(p["values"])
+    if t == "trace_state":
+        # W3C tracestate "k1=v1,k2=v2" (trace_state_filter.go:47-58)
+        m = F.str_to_map(F.col(tracestate_col), F.lit(","), F.lit("="))
+        return F.element_at(m, p["key"]).isin(p["values"])
+    if t == "ottl_condition":
+        # ottl.go: OR of compiled conditions, error_mode=ignore ⇒ eval
+        # error/null is simply no-match
+        from ..functions.ottl import Compiler, PathResolver
+
+        comp = Compiler(PathResolver(spans))
+        pred = None
+        for s in p["conditions"]:
+            c = comp.compile_condition(s)
+            c = c & c.isNotNull()
+            pred = c if pred is None else (pred | c)
+        return pred if pred is not None else F.lit(False)
     raise ValueError(t)

@@ -569,9 +569,10 @@ FROM events GROUP BY user_id
 
 
 def q_tail_sampling(spark, sf_dir):
-    """tailsampling policy OR-set: latency + string_attribute + probabilistic
-    decisions per trace; rows-only for probabilistic (xxhash64) — here only
-    deterministic policies so the oracle holds."""
+    """tailsampling policy set with combinators: string_attribute OR
+    and(numeric_attribute, span_count) OR ottl_condition, minus a drop
+    policy (drop overrides Sampled, processor.go:307). All deterministic so
+    the oracle holds; probabilistic/rate_limiting are pytest-covered."""
     from ..operators.templates import tail_sampling
 
     df = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
@@ -579,7 +580,18 @@ def q_tail_sampling(spark, sf_dir):
         df,
         [
             {"type": "string_attribute", "key": "event_type", "values": ["error"]},
-            {"type": "numeric_attribute", "key": "value", "min": 190.0},
+            {
+                "type": "and",
+                "policies": [
+                    {"type": "numeric_attribute", "key": "value", "min": 190.0},
+                    {"type": "span_count", "min_spans": 2},
+                ],
+            },
+            {"type": "ottl_condition", "conditions": ['event_type == "signup"']},
+            {
+                "type": "drop",
+                "policies": [{"type": "numeric_attribute", "key": "value", "min": 199.9}],
+            },
         ],
         trace_col="user_id",
         ts_col="ts",
@@ -592,8 +604,10 @@ SELECT event_id, user_id FROM events
 WHERE user_id IN (
   SELECT user_id FROM events
   GROUP BY user_id
-  HAVING max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1
-      OR max(CASE WHEN value >= 190.0 THEN 1 ELSE 0 END) = 1
+  HAVING (max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1
+          OR (max(CASE WHEN value >= 190.0 THEN 1 ELSE 0 END) = 1 AND count(*) >= 2)
+          OR max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) = 1)
+     AND max(CASE WHEN value >= 199.9 THEN 1 ELSE 0 END) = 0
 )
 """
 
@@ -921,6 +935,43 @@ SELECT event_id,
        substr(CAST(user_id AS VARCHAR), 1, 4) AS uid_attr,
        CAST(NULL AS VARCHAR) AS dropped,
        CASE WHEN event_type = 'error' THEN 'yes' END AS alert
+FROM events
+"""
+
+
+def q_ottl_xml(spark, sf_dir):
+    """OTTL XML converter family (func_parse_simplified_xml.go,
+    func_remove_xml.go, func_get_xml.go, func_convert_attributes_to_
+    elements_xml.go) over a synthesized XML body column; the DuckDB oracle
+    reconstructs the expected strings from the underlying columns."""
+    from ..functions.ottl import transform_processor
+
+    df = _t(spark, sf_dir, "events").withColumn(
+        "body",
+        F.format_string(
+            '<Log id="%s"><Type>%s</Type><Msg>m %s</Msg></Log>',
+            F.col("user_id"), F.col("event_type"), F.col("event_id"),
+        ),
+    )
+    df = transform_processor(
+        df,
+        [
+            "set(simplified, ParseSimplifiedXML(body))",
+            'set(no_msg, RemoveXML(body, "/Log/Msg"))',
+            'set(type_xml, GetXML(body, "/Log/Type"))',
+            "set(attr_elems, ConvertAttributesToElementsXML(body))",
+        ],
+    )
+    return df.select("event_id", "simplified", "no_msg", "type_xml", "attr_elems")
+
+
+SQL_OTTL_XML = """
+SELECT event_id,
+       printf('{"Log":{"Type":"%s","Msg":"m %d"}}', event_type, event_id) AS simplified,
+       printf('<Log id="%d"><Type>%s</Type></Log>', user_id, event_type) AS no_msg,
+       printf('<Type>%s</Type>', event_type) AS type_xml,
+       printf('<Log><Type>%s</Type><Msg>m %d</Msg><id>%d</id></Log>',
+              event_type, event_id, user_id) AS attr_elems
 FROM events
 """
 
@@ -1301,6 +1352,7 @@ QUERIES = {
     "delta_to_rate": q_delta_to_rate,
     "grok_parser": q_grok_parser,
     "ottl_map_editors": q_ottl_map_editors,
+    "ottl_xml": q_ottl_xml,
     "span_metrics": q_span_metrics,
     "resource_detection": q_resource_detection,
     "attributes_extract": q_attributes_extract,
@@ -1355,6 +1407,7 @@ ORACLES = {
     "delta_to_rate": SQL_DELTA_TO_RATE,
     "grok_parser": SQL_GROK_PARSER,
     "ottl_map_editors": SQL_OTTL_MAP_EDITORS,
+    "ottl_xml": SQL_OTTL_XML,
     "span_metrics": SQL_SPAN_METRICS,
     "resource_detection": SQL_RESOURCE_DETECTION,
     "attributes_extract": SQL_ATTRIBUTES_EXTRACT,

@@ -65,6 +65,26 @@ class TestTransformers:
         assert out.filter("id='r1'").first().route_id == "first"
 
 
+class TestParsers:
+    def test_json_array_parser(self, spark):
+        """parser/jsonarray/parser.go:29 — array line → slice; header mode
+        zips keys like assign_keys."""
+        df = spark.createDataFrame([('["1","debug","ok"]',), ("not json",)], "body string")
+        out = parsers.json_array_parser(df, "body", out="arr")
+        rows = out.orderBy("body").collect()
+        assert rows[0].arr == ["1", "debug", "ok"] and rows[0]._parse_error is False
+        assert rows[1].arr is None and rows[1]._parse_error is True
+        hdr = parsers.json_array_parser(
+            df.limit(1), "body", out="m", header=["id", "sev", "msg"]
+        ).first()
+        assert hdr.m == {"id": "1", "sev": "debug", "msg": "ok"}
+
+    def test_scope_name_parser(self, tiny):
+        """parser/scope/parser.go:24 — copy field → scope name."""
+        out = parsers.scope_name_parser(tiny, "comp")
+        assert [r.scope_name for r in out.orderBy("id").collect()] == ["auth", "db"]
+
+
 class TestProcessors:
     def test_attributes_actions_insert_update_upsert_delete(self, tiny):
         df = tiny.select("id", "comp")

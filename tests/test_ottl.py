@@ -103,6 +103,14 @@ class TestStatements:
         )
         assert attr(out, "http.method") == ["GET", "post"]
 
+    def test_replace_all_matches_glob(self, row_df):
+        """func_replace_all_matches.go: full-value glob over map values."""
+        out = transform_processor(
+            row_df, ['replace_all_matches(attributes, "/hea*", "/masked")']
+        )
+        assert attr(out, "http.path") == ["/masked", "/api"]
+        assert attr(out, "http.method") == ["get", "post"]  # untouched
+
     def test_truncate_all(self, row_df):
         out = transform_processor(row_df, ["truncate_all(attributes, 2)"])
         assert attr(out, "http.method") == ["ge", "po"]

@@ -85,8 +85,27 @@ VECTORS = [
     # key-value round trips
     ('set(test, ToKeyValueString(ParseKeyValue("k1=v1 k2=v2"), "=", " ", true))', "k1=v1 k2=v2"),
     ('set(test, ToKeyValueString(ParseKeyValue("k1:v1,k2:v2", ":", ","), ":", ",", true))', "k1:v1,k2:v2"),
-    # xml
-    ('set(test, GetXML("<a><b>1</b></a>", "/a/b"))', "1"),
+    # xml family (e2e_test.go:712-724, 840, 870, 1123-1148)
+    ('set(test, GetXML("<a><b>1</b><c><b>2</b></c></a>", "/a//b"))', "<b>1</b><b>2</b>"),
+    ('set(test, InsertXML("<a></a>", "/a", "<b></b>"))', "<a><b></b></a>"),
+    (
+        'set(test, RemoveXML("<Log id=\\"1\\"><Message>This is a log message!</Message></Log>", "/Log/Message"))',
+        '<Log id="1"></Log>',
+    ),
+    (
+        'set(test, ConvertAttributesToElementsXML("<Log id=\\"1\\"><Message>This is a log message!</Message></Log>"))',
+        "<Log><Message>This is a log message!</Message><id>1</id></Log>",
+    ),
+    ('set(test, ConvertTextToElementsXML("<a><b/>foo</a>"))', "<a><b></b><value>foo</value></a>"),
+    (
+        'set(test, ConvertTextToElementsXML("<a><b/>foo</a><c><b/>bar</c>", "/a", "custom"))',
+        "<a><b></b><custom>foo</custom></a><c><b></b>bar</c>",
+    ),
+    # trim with cutset (func_trim.go strings.Trim semantics)
+    ('set(test, Trim("--pass--", "-"))', "pass"),
+    ('set(test, Trim("  pass  "))', "pass"),
+    # format legacy varargs with a Column argument
+    ('set(test, Format("%s-%03d", http_method, 7))', "get-007"),
 ]
 
 WHERE_VECTORS = [
@@ -122,3 +141,43 @@ class TestE2EVectors:
     def test_parse_json_map(self, ctx):
         got = run1(ctx, 'set(test, ParseJSON("{\\"id\\":1}"))')
         assert got == {"id": "1"}
+
+    def test_parse_xml_map(self, ctx):
+        """e2e_test.go:1132: ParseXML → {tag, attributes, children} map
+        (flat model carries it as a JSON string)."""
+        import json
+
+        got = run1(
+            ctx,
+            'set(test, ParseXML("<Log id=\\"1\\"><Message>This is a log message!</Message></Log>"))',
+        )
+        assert json.loads(got) == {
+            "tag": "Log",
+            "attributes": {"id": "1"},
+            "children": [{"tag": "Message", "content": "This is a log message!"}],
+        }
+
+    def test_parse_simplified_xml_map(self, ctx):
+        """e2e_test.go:1123: ParseSimplifiedXML → leaf-text map."""
+        import json
+
+        got = run1(
+            ctx,
+            'set(test, ParseSimplifiedXML("<Log><id>1</id><Message>This is a log message!</Message></Log>"))',
+        )
+        assert json.loads(got) == {
+            "Log": {"id": "1", "Message": "This is a log message!"}
+        }
+
+    def test_xml_roundtrip_benchmark_shape(self, ctx):
+        """Benchmark_XML_Functions roundTrip (e2e_test.go:2987-3005):
+        RemoveXML(InsertXML(body, ..., GetXML(body, ...)), ...) == body."""
+        from pyspark.sql import functions as F
+
+        xml = "<Data><From><Test>1</Test><Test>2</Test></From><To></To></Data>"
+        df = ctx.withColumn("body", F.lit(xml))
+        got = run1(
+            df,
+            'set(test, RemoveXML(InsertXML(body, "/Data/To", GetXML(body, "/Data/From/Test")), "/Data/To/Test"))',
+        )
+        assert got == xml

@@ -102,6 +102,149 @@ class TestTailSampling:
         )
         assert self._ids(out) == ["t1", "t2"]
 
+    def test_span_count_min_only(self, spans):
+        """span_count_sampler.go:37-44: max==0 ⇒ count >= min."""
+        out = tail_sampling(spans, [{"type": "span_count", "min_spans": 2}])
+        assert self._ids(out) == ["t1"]
+
+    def test_span_count_min_max(self, spans):
+        out = tail_sampling(spans, [{"type": "span_count", "min_spans": 1, "max_spans": 1}])
+        assert self._ids(out) == ["t2", "t3"]
+
+    def test_latency_strictly_greater(self, spans):
+        """latency.go:52-53: duration must be STRICTLY > threshold."""
+        out = tail_sampling(spans, [{"type": "latency", "threshold_ms": 300000}])
+        assert self._ids(out) == []  # t1 is exactly 300000 ms
+
+    def test_latency_upper_bound(self, spans):
+        """latency.go:55: threshold < d <= upper."""
+        out = tail_sampling(
+            spans, [{"type": "latency", "threshold_ms": 1, "upper_threshold_ms": 300000}]
+        )
+        assert self._ids(out) == ["t1"]
+
+    def test_and_combinator(self, spans):
+        """and.go: all sub-policies must sample."""
+        out = tail_sampling(
+            spans,
+            [
+                {
+                    "type": "and",
+                    "policies": [
+                        {"type": "status_code", "values": [500, 404]},
+                        {"type": "span_count", "min_spans": 2},
+                    ],
+                }
+            ],
+        )
+        assert self._ids(out) == ["t1"]  # t3 has 404 but 1 span
+
+    def test_not_inverts(self, spans):
+        out = tail_sampling(
+            spans,
+            [
+                {
+                    "type": "not",
+                    "policies": [{"type": "string_attribute", "key": "method", "values": ["PUT"]}],
+                }
+            ],
+        )
+        assert self._ids(out) == ["t1", "t3"]
+
+    def test_drop_overrides_sampled(self, spans):
+        """drop.go + processor.go:307: Dropped wins over any Sampled."""
+        out = tail_sampling(
+            spans,
+            [
+                {"type": "always"},
+                {
+                    "type": "drop",
+                    "policies": [{"type": "string_attribute", "key": "method", "values": ["DEL"]}],
+                },
+            ],
+        )
+        assert self._ids(out) == ["t1", "t2"]  # t3 dropped despite always
+
+    def test_drop_requires_all_subs(self, spans):
+        """drop.go:33-46: Dropped iff ALL subs sample."""
+        out = tail_sampling(
+            spans,
+            [
+                {"type": "always"},
+                {
+                    "type": "drop",
+                    "policies": [
+                        {"type": "string_attribute", "key": "method", "values": ["DEL"]},
+                        {"type": "span_count", "min_spans": 2},
+                    ],
+                },
+            ],
+        )
+        assert self._ids(out) == ["t1", "t2", "t3"]  # t3: DEL but 1 span ⇒ not dropped
+
+    def test_ottl_condition(self, spans):
+        """ottl.go: compiled OTTL conditions, OR'd, over span rows."""
+        out = tail_sampling(
+            spans,
+            [{"type": "ottl_condition", "conditions": ['method == "PUT"', "value > 250.0"]}],
+        )
+        assert self._ids(out) == ["t2", "t3"]
+
+    def test_trace_state(self, spark):
+        """trace_state_filter.go: W3C tracestate key=value match."""
+        df = spark.createDataFrame(
+            [
+                ("t1", _ts(0), "vendor=alpha,sampled=1"),
+                ("t2", _ts(1), "vendor=beta"),
+                ("t3", _ts(2), ""),
+            ],
+            "trace_id string, ts timestamp, trace_state string",
+        )
+        out = tail_sampling(
+            df, [{"type": "trace_state", "key": "vendor", "values": ["alpha"]}]
+        )
+        assert self._ids(out) == ["t1"]
+
+    def test_rate_limiting_per_second_quota(self, spark):
+        """rate_limiting.go batch analog: traces in arrival order keep until
+        the arrival-second's cumulative span count exceeds the rate."""
+        rows = []
+        base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        for i in range(6):  # 6 traces, 2 spans each, all in one second
+            for j in range(2):
+                rows.append((f"t{i}", base + datetime.timedelta(milliseconds=i * 10 + j),))
+        df = spark.createDataFrame(rows, "trace_id string, ts timestamp")
+        out = tail_sampling(df, [{"type": "rate_limiting", "spans_per_second": 6}])
+        # cumulative spans: t0→2, t1→4, t2→6, t3→8 ✗ — first 3 traces keep
+        assert self._ids(out) == ["t0", "t1", "t2"]
+
+    def test_composite_budget_allocation(self, spark):
+        """composite.go batch analog: first matching sub-policy claims the
+        trace against its per-second span budget."""
+        base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        rows = []
+        # 4 'err' traces and 4 'ok' traces, 1 span each, same second
+        for i in range(4):
+            rows.append((f"e{i}", base + datetime.timedelta(milliseconds=i), "err"))
+            rows.append((f"o{i}", base + datetime.timedelta(milliseconds=100 + i), "ok"))
+        df = spark.createDataFrame(rows, "trace_id string, ts timestamp, kind string")
+        out = tail_sampling(
+            df,
+            [
+                {
+                    "type": "composite",
+                    "max_total_sps": 4,
+                    "rate_allocation": [50.0, 50.0],
+                    "policies": [
+                        {"type": "string_attribute", "key": "kind", "values": ["err"]},
+                        {"type": "always"},
+                    ],
+                }
+            ],
+        )
+        # err budget = ok budget = 2 spans/s: first 2 of each kind keep
+        assert self._ids(out) == ["e0", "e1", "o0", "o1"]
+
     def test_probabilistic_deterministic(self, spans):
         a = self._ids(tail_sampling(spans, [{"type": "probabilistic", "percent": 50, "seed": 7}]))
         b = self._ids(tail_sampling(spans, [{"type": "probabilistic", "percent": 50, "seed": 7}]))
