@@ -440,9 +440,27 @@ def build_registry(error_mode: str = "ignore") -> dict:
         "SHA1": lambda c: F.sha1(c.cast("string")),
         "SHA256": lambda c: F.sha2(c.cast("string"), 256),
         "SHA512": lambda c: F.sha2(c.cast("string"), 512),
-        "XXH64": lambda c: F.xxhash64(c),
-        "FNV": lambda c: F.xxhash64(c),  # documented substitute: stable 64-bit hash
-        "Murmur3Hash": lambda c: F.hash(c).cast("long"),  # Spark hash IS murmur3_x86_32
+        "XXH64": lambda c: F.xxhash64(c),  # JVM-side; the hot-path hash
+        # exact reference digests (functions/hashes.py, pinned to the
+        # reference's unit-test vectors): func_fnv.go, func_murmur3_hash.go,
+        # func_murmur3_hash128.go, func_xxh3.go, func_xxh128.go,
+        # func_community_id.go, func_uuidv7.go, func_trace_id.go,
+        # func_span_id.go, func_profile_id.go
+        "FNV": lambda c: _hashes().fnv_col(c),
+        "Murmur3Hash": lambda c: _hashes().murmur3_col(c),
+        "Murmur3Hash128": lambda c: _hashes().murmur3_128_col(c),
+        "XXH3": lambda c: _hashes().xxh3_col(c),
+        "XXH128": lambda c: _hashes().xxh128_col(c),
+        "CommunityID": lambda sip, sp, dip, dp, *opt: _hashes().community_id_col(
+            sip, sp, dip, dp,
+            opt[0] if len(opt) > 0 else "TCP",
+            _as_py(opt[1]) if len(opt) > 1 else 0,
+        ),
+        "UUIDv7": lambda: _hashes().uuid_v7_col(),
+        # hex string → fixed-width binary id; wrong length / bad hex ⇒ null
+        "TraceID": lambda c: F.when(F.length(c.cast("string")) == 32, F.unhex(c.cast("string"))),
+        "SpanID": lambda c: F.when(F.length(c.cast("string")) == 16, F.unhex(c.cast("string"))),
+        "ProfileID": lambda c: F.when(F.length(c.cast("string")) == 32, F.unhex(c.cast("string"))),
         # time
         "Time": lambda c, fmt: F.try_to_timestamp(c, F.lit(_strptime(_as_py(fmt)))),
         "FormatTime": lambda c, fmt: F.date_format(c, _strptime(_as_py(fmt))),
@@ -715,6 +733,12 @@ def _xml():
     return xmlfuncs
 
 
+def _hashes():
+    from . import hashes
+
+    return hashes
+
+
 def _or_other(extracted: Column) -> Column:
     """ua-parser fallback: empty extraction → "Other" (regexp_extract yields
     "" on no match, never null)."""
@@ -765,6 +789,7 @@ LITERAL_ARG_POSITIONS: dict[str, frozenset[int]] = {
     "ParseCSV": frozenset([1]),
     "ToKeyValueString": frozenset([1, 2, 3]),
     "GetXML": frozenset([1]),
+    "CommunityID": frozenset([5]),
     "InsertXML": frozenset([1]),
     "RemoveXML": frozenset([1]),
     "ConvertAttributesToElementsXML": frozenset([1]),

@@ -145,6 +145,64 @@ def sum_connector(
     return cur.groupBy(*dimensions).agg(F.sum(F.col(source_attribute)).alias(name))
 
 
+def span_metrics(
+    df: DataFrame,
+    dimensions: list[str],
+    duration_col: str = "duration",
+    explicit_buckets: list[float] | None = None,
+    exemplars: bool = False,
+    trace_col: str | None = None,
+) -> DataFrame:
+    """spanmetrics connector, explicit-buckets histogram form.
+
+    Reference: ``connector/spanmetricsconnector/config.go:43-141`` — calls
+    count + duration histogram per dimension set; optional exemplars attach
+    sampled (trace_id, value) points per metric. The batch-deterministic
+    exemplar is the MAX-duration span per group (the reference keeps a
+    rotating sample; a columnar engine needs a reproducible choice).
+    """
+    buckets = explicit_buckets or [2, 4, 6, 8, 10, 50, 100, 200, 400, 800, 1000, 2000, 5000, 10000]
+    dur = F.col(duration_col)
+    aggs = [
+        F.count(F.lit(1)).alias("calls"),
+        (F.sum(dur.cast("decimal(18,2)")) * 100).cast("bigint").alias("duration_sum_cents"),
+    ]
+    lo = None
+    for b in buckets:
+        cond = (dur <= b) if lo is None else ((dur > lo) & (dur <= b))
+        aggs.append(F.sum(cond.cast("long")).alias(f"le_{str(b).replace('.', '_')}"))
+        lo = b
+    aggs.append(F.sum((dur > lo).cast("long")).alias("le_inf"))
+    if exemplars:
+        tid = F.col(trace_col or dimensions[0])
+        aggs.append(F.max_by(tid, dur).alias("exemplar_trace"))
+        aggs.append(F.max(dur).alias("exemplar_value"))
+    return df.groupBy(*dimensions).agg(*aggs)
+
+
+def span_metrics_exponential(
+    df: DataFrame,
+    dimensions: list[str],
+    duration_col: str = "duration",
+    scale: int = 2,
+) -> DataFrame:
+    """spanmetrics exponential-histogram form (config.go ``exponential``):
+    OTel base-2 exponential buckets, base = 2^(2^-scale); a positive value v
+    lands in index i s.t. base^i < v <= base^(i+1), i.e.
+    ``ceil(log2(v) * 2^scale) - 1``. Pure Column math (log2 + ceil) — one
+    hash-agg over (dims, bucket_index); zeros/negatives go to the reserved
+    zero bucket (index null, counted separately by the caller if needed).
+    """
+    dur = F.col(duration_col)
+    idx = (F.ceil(F.log2(dur) * (2 ** scale)) - 1).cast("bigint")
+    return (
+        df.filter(dur > 0)
+        .withColumn("bucket_idx", idx)
+        .groupBy(*dimensions, "bucket_idx")
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )
+
+
 def load_balancing_bucket(
     df: DataFrame, routing_key: str, num_endpoints: int, out: str = "endpoint"
 ) -> DataFrame:

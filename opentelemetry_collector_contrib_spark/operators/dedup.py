@@ -256,17 +256,32 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_grams: int = 200,
+    max_gram_df: int = 500,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing ≥1 gram.
 
     Candidate generation: explode grams → self-join on gram (equi-join) →
     distinct pairs → exact |A∩B|/|A∪B| via array ops. ``max_grams`` caps the
     explode fan-out (documented truncation; judge-visible).
+
+    ``max_gram_df`` caps gram document frequency before the self-join — a
+    universal trigram ("the end of") otherwise contributes B²/2 candidate
+    rows and goes quadratic at scale; a gram shared by more than
+    ``max_gram_df`` docs carries ~zero near-dup signal, so it's dropped from
+    candidate GENERATION only (the exact Jaccard verify still uses every
+    gram). Same guard shape as minhash_lsh_pairs' ``max_bucket_size``.
     """
     base = shingle_hash_frame(df, text_col, id_col, n).select(
         "id", F.slice("hs", 1, max_grams).alias("g")
     )
     ex = base.select("id", F.explode("g").alias("gram"))
+    rare = (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_gram_df)
+        .drop("_df")
+    )
+    ex = ex.join(rare, "gram")  # drop hot grams pre-join
     cand = (
         ex.alias("a")
         .join(ex.alias("b"), (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))

@@ -81,6 +81,40 @@ def interval_last(
     )
 
 
+def metric_start_time(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    strategy: str = "true_reset_point",
+) -> DataFrame:
+    """metricstarttimeprocessor: set each cumulative point's start timestamp.
+
+    Reference: ``processor/metricstarttimeprocessor`` — strategies:
+      true_reset_point:       start_time = the series' first observed point;
+                              on a value RESET (point < previous) the start
+                              re-anchors at the reset point
+      subtract_initial_point: additionally subtracts the initial value from
+                              every later point (start anchored the same way)
+    Batch form: per-series window — a reset opens a new epoch (cumsum of
+    reset flags), start = min(ts) per (series, epoch), initial = first value
+    per epoch.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    reset = (F.col(value_col) < F.lag(value_col).over(w)).cast("int")
+    df = df.withColumn("_epoch", F.coalesce(F.sum(reset).over(w), F.lit(0)))
+    we = Window.partitionBy(*key_cols, "_epoch")
+    df = df.withColumn("start_timestamp", F.min(ts_col).over(we))
+    if strategy == "subtract_initial_point":
+        first_val = F.first(value_col).over(
+            Window.partitionBy(*key_cols, "_epoch").orderBy(ts_col)
+        )
+        df = df.withColumn(value_col, F.col(value_col) - first_val)
+    elif strategy != "true_reset_point":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return df.drop("_epoch")
+
+
 def metrics_transform(
     df: DataFrame,
     rename: dict[str, str] | None = None,

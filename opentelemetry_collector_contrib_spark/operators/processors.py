@@ -69,17 +69,53 @@ def filter_processor(df: DataFrame, conditions: list[Column]) -> tuple[DataFrame
 
 
 def probabilistic_sampler(
-    df: DataFrame, percent: float, key: str = "doc_id", seed: int = 22
+    df: DataFrame,
+    percent: float,
+    key: str = "doc_id",
+    seed: int = 22,
+    mode: str = "hash_seed",
+    threshold_col: str | None = None,
+    randomness_col: str | None = None,
 ) -> DataFrame:
     """Hash-based consistent sampling — deterministic and re-runnable.
 
-    Reference: ``processor/probabilisticsamplerprocessor/logsprocessor.go:39-117``
-    (randomness = FNV hash of an attribute; hash_seed mode). xxhash64 of the
-    key column modulo a 2^14 space vs threshold ⇒ same row always gets the
-    same decision, independent of partitioning.
+    Reference: ``processor/probabilisticsamplerprocessor`` (logsprocessor.go
+    + sampler_mode.go), on the W3C 56-bit threshold model: a record carries
+    randomness R ∈ [0, 2^56) (explicit ``sampling.randomness`` or hashed
+    from ``key``) and optionally an incoming threshold T_in
+    (``sampling.threshold``); kept iff R >= T_out.
+
+    Modes (sampler_mode.go:243-300):
+      hash_seed:    T_out = (1 - p) * 2^56 — ignores incoming threshold
+      equalizing:   T_out = max(T_in, T_mode) — raises to a fixed value
+      proportional: p_out = p_in * p — scales the incoming probability
+
+    Output keeps rows AND updates ``sampling_threshold`` so downstream
+    samplers compose, exactly the carrier updateThreshold contract.
     """
-    threshold = int(percent / 100.0 * 16384)
-    return df.filter(F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(16384)) < threshold)
+    S = 1 << 56
+    t_mode = int(round((1.0 - percent / 100.0) * S))
+    if randomness_col:
+        rnd = F.conv(F.col(randomness_col), 16, 10).cast("decimal(20,0)").cast("long")
+    else:
+        rnd = F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(S))
+    t_in = (
+        F.coalesce(F.col(threshold_col), F.lit(0)).cast("long")
+        if threshold_col and threshold_col in df.columns
+        else F.lit(0).cast("long")
+    )
+    if mode == "hash_seed":
+        t_out = F.lit(t_mode).cast("long")
+    elif mode == "equalizing":
+        t_out = F.greatest(t_in, F.lit(t_mode))
+    elif mode == "proportional":
+        # p_out = p_in * ratio ⇒ T_out = 2^56 - (2^56 - T_in) * ratio
+        ratio = percent / 100.0
+        t_out = (F.lit(S) - ((F.lit(S) - t_in) * F.lit(ratio))).cast("long")
+    else:
+        raise ValueError(f"unknown sampler mode {mode!r}")
+    out = df.withColumn("_rnd", rnd).withColumn("sampling_threshold", t_out)
+    return out.filter(F.col("_rnd") >= F.col("sampling_threshold")).drop("_rnd")
 
 
 def unroll(df: DataFrame, field: str) -> DataFrame:
@@ -96,21 +132,93 @@ def redaction(
     blocked_values: list[str] | None = None,
     attr_col: str = "attributes",
     mask: str = "****",
+    ignored_keys: list[str] | None = None,
+    allowed_values: list[str] | None = None,
+    blocked_key_patterns: list[str] | None = None,
+    summary: str | None = None,
 ) -> DataFrame:
     """Redaction over a map<string,string> attributes column.
 
-    Reference: ``processor/redactionprocessor/processor.go:189-233`` —
-    non-allowed keys removed; values matching blocked regexes masked.
+    Reference: ``processor/redactionprocessor/processor.go:330-381`` decision
+    sequence per attribute: ignored_keys are untouchable; keys outside
+    allowed_keys are REDACTED (removed); surviving values matching
+    allowed_values skip masking; keys matching blocked_key_patterns mask
+    wholesale; values matching blocked_values mask the MATCHED substring.
+
+    ``summary`` ∈ {None, "info", "debug"} adds the diagnostic attributes of
+    addMetaAttrs (processor.go:416-437, names :584-589):
+    info ⇒ redaction.{redacted,masked,allowed,ignored}.count; debug adds the
+    sorted .keys lists (ignored has a count only). Counts are string-typed
+    here (map<string,string> model). Everything is pure Column math.
     """
     col = F.col(attr_col)
-    if allowed_keys is not None:
-        allow = F.array(*[F.lit(k) for k in allowed_keys])
-        col = F.map_filter(col, lambda k, v: F.array_contains(allow, k))
-    for pat in blocked_values or []:
-        col = F.transform_values(
-            col, lambda k, v: F.when(v.rlike(pat), F.lit(mask)).otherwise(v)
+
+    def is_ign(k):
+        if not ignored_keys:
+            return F.lit(False)
+        return F.array_contains(F.array(*[F.lit(x) for x in ignored_keys]), k)
+
+    def is_red(k):
+        if allowed_keys is None:
+            return F.lit(False)
+        allow = F.array(*[F.lit(x) for x in allowed_keys])
+        return ~is_ign(k) & ~F.array_contains(allow, k)
+
+    def _any_match(v, pats):
+        cond = F.lit(False)
+        for p in pats or []:
+            cond = cond | v.rlike(p)
+        return cond
+
+    def val_allowed(v):
+        return _any_match(v, allowed_values)
+
+    def key_blocked(k):
+        return _any_match(k, blocked_key_patterns)
+
+    def val_blocked(v):
+        return _any_match(v, blocked_values)
+
+    def is_masked(k, v):
+        return (
+            ~is_ign(k) & ~is_red(k) & ~val_allowed(v) & (key_blocked(k) | val_blocked(v))
         )
-    return df.withColumn(attr_col, col)
+
+    def new_value(k, v):
+        rep = v
+        for p in blocked_values or []:
+            rep = F.regexp_replace(rep, p, mask)
+        return (
+            F.when(~is_masked(k, v), v)
+            .when(key_blocked(k), F.lit(mask))
+            .otherwise(rep)
+        )
+
+    out_map = F.transform_values(F.map_filter(col, lambda k, v: ~is_red(k)), new_value)
+
+    if summary in ("info", "debug"):
+        cats = [
+            ("redaction.redacted", lambda k, v: is_red(k), True),
+            ("redaction.masked", is_masked, True),
+            ("redaction.allowed", lambda k, v: ~is_ign(k) & ~is_red(k) & val_allowed(v), True),
+            ("redaction.ignored", lambda k, v: is_ign(k), False),  # count only
+        ]
+        add_entries = []
+        for name, pred, with_keys in cats:
+            keys = F.array_sort(F.map_keys(F.map_filter(col, pred)))
+            cnt = F.size(keys)
+            if summary == "debug" and with_keys:
+                add_entries.append((F.lit(f"{name}.keys"), F.when(cnt > 0, F.array_join(keys, ","))))
+            add_entries.append((F.lit(f"{name}.count"), F.when(cnt > 0, cnt.cast("string"))))
+        addition = F.map_filter(
+            F.map_from_arrays(
+                F.array(*[k for k, _ in add_entries]),
+                F.array(*[v for _, v in add_entries]),
+            ),
+            lambda k, v: v.isNotNull(),
+        )
+        out_map = F.map_concat(out_map, addition)
+    return df.withColumn(attr_col, out_map)
 
 
 def group_by_attrs(df: DataFrame, keys: list[str]) -> DataFrame:

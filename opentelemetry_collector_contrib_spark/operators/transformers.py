@@ -106,21 +106,51 @@ def recombine(
     combine_with: str = "\n",
     max_batch_size: int = 1000,
     agg_extra: dict[str, Column] | None = None,
+    order_bucket_span: int | None = None,
 ) -> DataFrame:
     """``recombine`` — stateful multiline merge, batch form.
 
     Reference: ``transformer/recombine/config.go:40-62`` (is_first_entry /
     source_identifier / combine_with, caps). Batch sessionization: a running
     sum of the is_first flag over (source, order) numbers the sessions, then
-    one groupBy concatenates. Two shuffles (window + agg) on the same key —
-    Spark reuses the partitioning for the agg, so effectively one exchange.
+    one groupBy concatenates.
+
+    Skew: a single ``Window.partitionBy(source)`` puts one hot source (60%
+    of rows in the fixture) on ONE task. ``order_bucket_span`` enables the
+    two-phase form — a distributed prefix sum: rows bucket by contiguous
+    order ranges, the running count is computed per (source, bucket) in
+    parallel, and a tiny per-bucket offset frame (one row per bucket) is
+    broadcast back so ``session = local_count + bucket_offset`` — bit-for-bit
+    the same session ids as the global window, including sessions that span
+    bucket boundaries. Requires a numeric ``order_col``. The downstream
+    groupBy keys on (source, session), whose cardinality is high, so the
+    aggregation itself never concentrates on one task.
 
     The streaming form (force_flush_period) lives in streaming/stream.py.
     max_batch_size splits oversize sessions exactly like the reference's cap.
     """
-    w = Window.partitionBy(source_col).orderBy(order_col)
     df = df.withColumn("_first", is_first_entry.cast("int"))
-    df = df.withColumn("_session", F.sum("_first").over(w))
+    if order_bucket_span:
+        df = df.withColumn("_bkt", (F.col(order_col) / order_bucket_span).cast("long"))
+        w1 = Window.partitionBy(source_col, "_bkt").orderBy(order_col)
+        df = df.withColumn("_local", F.sum("_first").over(w1))
+        per_bucket = df.groupBy(source_col, "_bkt").agg(F.sum("_first").alias("_bf"))
+        woff = (
+            Window.partitionBy(source_col)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = per_bucket.withColumn(
+            "_off", F.coalesce(F.sum("_bf").over(woff), F.lit(0))
+        ).drop("_bf")
+        df = df.join(F.broadcast(offsets), [source_col, "_bkt"])
+        df = (
+            df.withColumn("_session", F.col("_local") + F.col("_off"))
+            .drop("_bkt", "_local", "_off")
+        )
+    else:
+        w = Window.partitionBy(source_col).orderBy(order_col)
+        df = df.withColumn("_session", F.sum("_first").over(w))
     df = df.withColumn(
         "_chunk",
         ((F.row_number().over(Window.partitionBy(source_col, "_session").orderBy(order_col)) - 1)

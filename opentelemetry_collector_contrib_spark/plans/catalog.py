@@ -979,18 +979,9 @@ FROM events
 def q_span_metrics(spark, sf_dir):
     """spanmetrics connector (connector/spanmetricsconnector/config.go:43-141):
     calls count + explicit-bucket duration histogram per dimension set."""
-    df = _t(spark, sf_dir, "events")
-    dur = F.col("value")
-    return (
-        df.groupBy(F.col("event_type").alias("span_name"))
-        .agg(
-            F.count(F.lit(1)).alias("calls"),
-            (F.sum(dur.cast("decimal(18,2)")) * 100).cast("bigint").alias("duration_sum_cents"),
-            F.sum((dur <= 50).cast("long")).alias("le_50"),
-            F.sum(((dur > 50) & (dur <= 100)).cast("long")).alias("le_100"),
-            F.sum(((dur > 100) & (dur <= 200)).cast("long")).alias("le_200"),
-            F.sum((dur > 200).cast("long")).alias("le_inf"),
-        )
+    df = _t(spark, sf_dir, "events").withColumn("span_name", F.col("event_type"))
+    return connectors.span_metrics(
+        df, ["span_name"], "value", explicit_buckets=[50, 100, 200]
     )
 
 
@@ -1003,6 +994,85 @@ SELECT event_type AS span_name,
        CAST(sum(CASE WHEN value > 100 AND value <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS le_200,
        CAST(sum(CASE WHEN value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS le_inf
 FROM events GROUP BY event_type
+"""
+
+
+def q_span_metrics_expo(spark, sf_dir):
+    """spanmetrics exponential histogram (config.go ``histogram.exponential``):
+    OTel base-2 buckets at scale=2 — bucket_idx = ceil(log2(v)*4)-1, bigint
+    counts per (span_name, bucket)."""
+    df = _t(spark, sf_dir, "events").withColumn("span_name", F.col("event_type"))
+    return connectors.span_metrics_exponential(df, ["span_name"], "value", scale=2)
+
+
+SQL_SPAN_METRICS_EXPO = """
+SELECT event_type AS span_name,
+       CAST(ceil(log2(value) * 4) - 1 AS BIGINT) AS bucket_idx,
+       count(*) AS bucket_count
+FROM events WHERE value > 0
+GROUP BY 1, 2
+"""
+
+
+
+def q_metric_start_time(spark, sf_dir):
+    """metricstarttimeprocessor true_reset_point: per-series start timestamp
+    re-anchored at counter resets (value < previous)."""
+    from ..operators import metrics
+
+    df = _t(spark, sf_dir, "events")
+    out = metrics.metric_start_time(df, ["user_id"], "event_id", "value")
+    return out.select("event_id", "user_id", F.col("start_timestamp").alias("start_ts"))
+
+
+SQL_METRIC_START_TIME = """
+WITH s AS (
+  SELECT event_id, user_id, value,
+         CASE WHEN value < lag(value) OVER (PARTITION BY user_id ORDER BY event_id)
+              THEN 1 ELSE 0 END AS reset
+  FROM events
+), e AS (
+  SELECT event_id, user_id,
+         SUM(reset) OVER (PARTITION BY user_id ORDER BY event_id) AS epoch
+  FROM s
+)
+SELECT event_id, user_id,
+       MIN(event_id) OVER (PARTITION BY user_id, epoch) AS start_ts
+FROM e
+"""
+
+
+def q_redaction_summary(spark, sf_dir):
+    """redaction summary attributes (processor.go:416-437, names :584-589):
+    redaction.redacted/masked .keys/.count at summary=debug."""
+    df = _t(spark, sf_dir, "events").withColumn(
+        "attributes",
+        F.create_map(
+            F.lit("user"), F.col("user_id").cast("string"),
+            F.lit("token"), F.concat(F.lit("tok-"), F.col("event_id")),
+            F.lit("note"), F.col("event_type"),
+        ),
+    )
+    df = processors.redaction(
+        df, allowed_keys=["user", "token"],
+        blocked_values=[r"^tok-\d*[02468]$"], summary="debug",
+    )
+    a = F.col("attributes")
+    return df.select(
+        "event_id",
+        F.element_at(a, "redaction.redacted.keys").alias("red_keys"),
+        F.element_at(a, "redaction.redacted.count").alias("red_count"),
+        F.element_at(a, "redaction.masked.keys").alias("masked_keys"),
+        F.element_at(a, "redaction.masked.count").alias("masked_count"),
+    )
+
+
+SQL_REDACTION_SUMMARY = """
+SELECT event_id,
+       'note' AS red_keys, '1' AS red_count,
+       CASE WHEN event_id % 2 = 0 THEN 'token' END AS masked_keys,
+       CASE WHEN event_id % 2 = 0 THEN '1' END AS masked_count
+FROM events
 """
 
 
@@ -1354,6 +1424,9 @@ QUERIES = {
     "ottl_map_editors": q_ottl_map_editors,
     "ottl_xml": q_ottl_xml,
     "span_metrics": q_span_metrics,
+    "span_metrics_expo": q_span_metrics_expo,
+    "metric_start_time": q_metric_start_time,
+    "redaction_summary": q_redaction_summary,
     "resource_detection": q_resource_detection,
     "attributes_extract": q_attributes_extract,
     "metrics_transform": q_metrics_transform,
@@ -1409,6 +1482,9 @@ ORACLES = {
     "ottl_map_editors": SQL_OTTL_MAP_EDITORS,
     "ottl_xml": SQL_OTTL_XML,
     "span_metrics": SQL_SPAN_METRICS,
+    "span_metrics_expo": SQL_SPAN_METRICS_EXPO,
+    "metric_start_time": SQL_METRIC_START_TIME,
+    "redaction_summary": SQL_REDACTION_SUMMARY,
     "resource_detection": SQL_RESOURCE_DETECTION,
     "attributes_extract": SQL_ATTRIBUTES_EXTRACT,
     "metrics_transform": SQL_METRICS_TRANSFORM,

@@ -55,14 +55,20 @@ class LineageLog:
 
     # ---- per-partition (per input file) checkpoints -------------------
     # The filelog receiver checkpoints {Fingerprint, Offset} PER FILE after
-    # every poll (reader.go:30-40); the Spark analog is one committed record
-    # per input file: fingerprint = (path, size) — rename-stable like the
-    # reference's content fingerprint, cheap to compute from a listing.
+    # every poll (reader.go:30-40); the fingerprint there is a hash of the
+    # file's FIRST 1000 BYTES so it survives renames/rotation
+    # (fileconsumer/design.md). Same contract here: md5 of the first 1 KiB
+    # plus the size — a renamed file is NOT reprocessed, and an in-place
+    # content change (within the head) or size change IS.
 
     @staticmethod
     def file_fingerprint(path: str) -> str:
+        import hashlib
+
         st = os.stat(path)
-        return f"{os.path.basename(path)}:{st.st_size}"
+        with open(path, "rb") as f:
+            head = f.read(1024)
+        return f"{hashlib.md5(head).hexdigest()}:{st.st_size}"
 
     def files_done(self, stage: str) -> set[str]:
         d = os.path.join(self.root, "_lineage")

@@ -239,6 +239,25 @@ def default_routes() -> list[connectors.Route]:
     ]
 
 
+def _input_fingerprint(input_path: str) -> str:
+    """Resume key: path + md5 over the (name, size) listing — content-derived
+    so a rerun after the data under the path changed recomputes instead of
+    returning stale cached metrics."""
+    import hashlib
+
+    base = input_path.rstrip("/")
+    parts = []
+    if os.path.isdir(base):
+        for f in sorted(os.listdir(base)):
+            p = os.path.join(base, f)
+            if os.path.isfile(p):
+                parts.append(f"{f}:{os.stat(p).st_size}")
+    elif os.path.isfile(base):
+        parts.append(f"{os.path.basename(base)}:{os.stat(base).st_size}")
+    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+    return f"{base}:{digest}"
+
+
 def run_pipeline(
     spark: SparkSession,
     input_path: str,
@@ -253,10 +272,15 @@ def run_pipeline(
     input is a no-op (checkpoint.go:24-60 semantics at job granularity).
     """
     lineage = LineageLog(out_dir)
-    fingerprint = input_path.rstrip("/")
+    fingerprint = _input_fingerprint(input_path)
     if lineage.completed("pipeline", fingerprint):
-        with open(os.path.join(out_dir, "_metrics", "metrics.json")) as f:
-            return json.load(f)
+        # fingerprint covers the input listing+sizes, so changed data under
+        # the same path recomputes; a missing metrics file (cleaned out from
+        # under the lineage record) also falls through to recompute
+        mpath = os.path.join(out_dir, "_metrics", "metrics.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                return json.load(f)
 
     t0 = time.time()
     raw = tok.read_tokens(spark, input_path)
@@ -382,13 +406,14 @@ def run_pipeline_incremental(spark: SparkSession, input_path: str, out_dir: str)
     )
     by_name = {os.path.basename(r["_input_file"].replace("file://", "")): r for r in per_file}
     n_total = n_err = 0
+    tallies = []
     for f in todo:
         r = by_name.get(os.path.basename(f))
         rows_in = int(r["rows_in"]) if r else 0
         rows_out = int(r["rows_out"]) if r else 0
         n_total += rows_in
         n_err += rows_in - rows_out
-        lineage.commit_file("file", LineageLog.file_fingerprint(f), rows_in, rows_out)
+        tallies.append((f, rows_in, rows_out))
 
     # delta counts (countconnector per-flush delta sums): APPEND, never merge
     (
@@ -399,6 +424,14 @@ def run_pipeline_incremental(spark: SparkSession, input_path: str, out_dir: str)
         .parquet(os.path.join(out_dir, "counts_delta"))
     )
     routed.unpersist()
+
+    # the lineage record is the LAST thing written — a crash anywhere above
+    # leaves the files un-committed so the next poll reprocesses them
+    # (at-least-once, matching checkpoint-after-poll in checkpoint.go:24-44);
+    # committing before the counts_delta append would instead lose deltas
+    # permanently on a crash between the two writes
+    for f, rows_in, rows_out in tallies:
+        lineage.commit_file("file", LineageLog.file_fingerprint(f), rows_in, rows_out)
     return {
         "rows_routed": n_total - n_err,
         "rows_errors": n_err,

@@ -178,6 +178,8 @@ def streaming_recombine(
     )
 
     def merge(key, pdf_iter, state: GroupState):
+        import numpy as np
+
         source = key[0]
         if state.hasTimedOut:
             # force_flush_period elapsed with an open session → emit it
@@ -188,24 +190,34 @@ def streaming_recombine(
                   "recombined_n": len(parts)}]
             )
             return
-        start_id, parts = state.get if state.exists else (None, [])
-        parts = list(parts)
-        done = []
-        rows = pd.concat(list(pdf_iter)).sort_values("doc_id")
-        for _, r in rows.iterrows():
-            body = r["body"]
-            if body.startswith(first_marker) and parts:
-                done.append((start_id, parts))
-                parts = []
-                start_id = None
-            if start_id is None:
-                start_id = int(r["doc_id"])
-            parts.append(body)
-        if parts:
-            state.update((start_id, parts))
-            state.setTimeoutDuration(force_flush_ms)
-        elif state.exists:
-            state.remove()
+        carry = state.get if state.exists else None
+        chunks = list(pdf_iter)
+        rows = pd.concat(chunks) if chunks else pd.DataFrame(columns=["doc_id", "body"])
+        if len(rows) == 0:
+            if carry is not None:
+                state.setTimeoutDuration(force_flush_ms)
+            return
+        rows = rows.sort_values("doc_id")
+        # vectorized sessionization: startswith + cumsum assigns a session
+        # index per row (a first-marker row opens a new session); group 0 is
+        # the continuation of the carried-over open session. Python touches
+        # only SESSIONS (the groupby), never individual rows.
+        is_first = rows["body"].astype(str).str.startswith(first_marker).to_numpy()
+        rows = rows.assign(_g=np.cumsum(is_first))
+        sessions = [
+            (int(sub["doc_id"].iloc[0]), list(sub["body"].astype(str)))
+            for _, sub in rows.groupby("_g", sort=True)
+        ]
+        if carry is not None:
+            if not is_first[0]:  # batch continues the open session
+                sid0, bodies0 = sessions[0]
+                sessions[0] = (int(carry[0]), list(carry[1]) + bodies0)
+            else:  # batch opens fresh — the carried session closes as-is
+                sessions.insert(0, (int(carry[0]), list(carry[1])))
+        start_id, parts = sessions[-1]  # last session stays open in state
+        done = sessions[:-1]
+        state.update((start_id, parts))
+        state.setTimeoutDuration(force_flush_ms)
         if done:
             yield pd.DataFrame(
                 [{"source": source, "doc_id": s, "body": combine_with.join(p),

@@ -116,7 +116,9 @@ class TestProcessors:
             tiny, allowed_keys=["a", "secret_key"], blocked_values=[r"^tok-"]
         )
         r1 = out.filter("id='r1'").first().attributes
-        assert r1 == {"a": "1", "secret_key": "****"}
+        # maskValue masks the MATCHED portion (processor.go:345-368): the
+        # "tok-" prefix matched, the rest of the value survives
+        assert r1 == {"a": "1", "secret_key": "****abc"}
         r2 = out.filter("id='r2'").first().attributes
         assert r2 == {"a": "2"}
 
@@ -129,6 +131,70 @@ class TestProcessors:
         # sampled set at 10% is a subset of 25% (consistent thresholding)
         c = {r.doc_id for r in processors.probabilistic_sampler(df, 10.0, "doc_id").collect()}
         assert c <= a
+
+    def test_sampler_modes_compose(self, spark):
+        """sampler_mode.go: equalizing raises to a fixed threshold;
+        proportional scales the incoming probability."""
+        from pyspark.sql import functions as F
+
+        df = spark.range(40000).withColumnRenamed("id", "doc_id")
+        # stage 1: 50% hash_seed writes sampling_threshold
+        s1 = processors.probabilistic_sampler(df, 50.0, "doc_id")
+        assert 0.48 < s1.count() / 40000 < 0.52
+        # equalizing to 50% after a 50% stage is a no-op (threshold equal)
+        eq = processors.probabilistic_sampler(
+            s1, 50.0, "doc_id", mode="equalizing", threshold_col="sampling_threshold"
+        )
+        assert eq.count() == s1.count()
+        # proportional 50% of the 50% ⇒ ~25% of the original
+        pr = processors.probabilistic_sampler(
+            s1, 50.0, "doc_id", mode="proportional", threshold_col="sampling_threshold"
+        )
+        assert 0.22 < pr.count() / 40000 < 0.28
+        # thresholds only ever rise (updateThreshold contract)
+        bad = pr.filter(F.col("sampling_threshold") < F.lit(int(0.5 * (1 << 56)))).count()
+        assert bad == 0
+
+    def test_redaction_summary_attrs(self, spark):
+        """processor.go:416-437 + :584-589: redaction.{redacted,masked,
+        allowed,ignored} diagnostic attributes at summary=debug."""
+        df = spark.createDataFrame(
+            [(1, {"keep": "x", "drop1": "y", "drop2": "z", "tok": "secret-1",
+                  "ign": "w", "ok": "public-1"})],
+            "id int, attributes map<string,string>",
+        )
+        out = processors.redaction(
+            df,
+            allowed_keys=["keep", "tok", "ok"],
+            blocked_values=[r"secret-\d+"],
+            ignored_keys=["ign"],
+            allowed_values=[r"public-.*"],
+            summary="debug",
+        ).first()["attributes"]
+        assert out["keep"] == "x" and "drop1" not in out and "drop2" not in out
+        assert out["tok"] == "****" and out["ok"] == "public-1" and out["ign"] == "w"
+        assert out["redaction.redacted.keys"] == "drop1,drop2"
+        assert out["redaction.redacted.count"] == "2"
+        assert out["redaction.masked.keys"] == "tok"
+        assert out["redaction.masked.count"] == "1"
+        assert out["redaction.allowed.keys"] == "ok"
+        assert out["redaction.ignored.count"] == "1"
+        assert "redaction.ignored.keys" not in out
+        # info level: counts only
+        info = processors.redaction(
+            df, allowed_keys=["keep", "tok", "ok"], blocked_values=[r"secret-\d+"],
+            ignored_keys=["ign"], allowed_values=[r"public-.*"], summary="info",
+        ).first()["attributes"]
+        assert "redaction.redacted.keys" not in info
+        assert info["redaction.redacted.count"] == "2"
+
+    def test_redaction_masks_matched_substring(self, spark):
+        """maskValue masks the MATCHED portion, not the whole value."""
+        df = spark.createDataFrame(
+            [(1, {"msg": "card 4111-2222 used"})], "id int, attributes map<string,string>"
+        )
+        out = processors.redaction(df, blocked_values=[r"\d{4}-\d{4}"]).first()["attributes"]
+        assert out["msg"] == "card **** used"
 
     def test_unroll(self, tiny):
         out = processors.unroll(tiny.select("id", "items"), "items")
@@ -183,6 +249,30 @@ class TestEnrich:
 
 
 class TestMetrics:
+    def test_metric_start_time_reset_epochs(self, spark):
+        """metricstarttimeprocessor true_reset_point: start re-anchors at a
+        counter reset; subtract_initial_point also rebases values."""
+        rows = [
+            ("s1", 1, 10.0), ("s1", 2, 15.0), ("s1", 3, 5.0), ("s1", 4, 9.0),
+            ("s2", 1, 3.0),
+        ]
+        df = spark.createDataFrame(rows, "series string, ts long, value double")
+        out = {
+            (r.series, r.ts): r.start_timestamp
+            for r in metrics.metric_start_time(df, ["series"], "ts", "value").collect()
+        }
+        assert out[("s1", 1)] == 1 and out[("s1", 2)] == 1
+        assert out[("s1", 3)] == 3 and out[("s1", 4)] == 3  # reset at ts=3
+        assert out[("s2", 1)] == 1
+        sub = {
+            (r.series, r.ts): r.value
+            for r in metrics.metric_start_time(
+                df, ["series"], "ts", "value", strategy="subtract_initial_point"
+            ).collect()
+        }
+        assert sub[("s1", 1)] == 0.0 and sub[("s1", 2)] == 5.0
+        assert sub[("s1", 3)] == 0.0 and sub[("s1", 4)] == 4.0
+
     def test_delta_roundtrip(self, spark):
         rows = [("s1", i, float(v)) for i, v in enumerate([10, 13, 13, 20])]
         rows += [("s2", i, float(v)) for i, v in enumerate([5, 6])]

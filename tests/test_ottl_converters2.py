@@ -110,8 +110,12 @@ class TestCollectionsXmlUa:
         assert sorted(out.ks) == ["a", "b"] and sorted(out.vs) == ["1", "2"]
 
     def test_get_xml(self, row):
+        # func_get_xml.go serializes the matched NODES (not inner text)
         out = transform_processor(row, ['set(nm, GetXML(xml, "/r/name"))'])
-        assert out.first().nm == "bob"
+        assert out.first().nm == "<name>bob</name>"
+        # text() selection yields the inner text
+        out2 = transform_processor(row, ['set(nm, GetXML(xml, "/r/name/text()"))'])
+        assert out2.first().nm == "bob"
 
     def test_useragent(self, row):
         out = transform_processor(row, ["set(u, UserAgent(ua))"]).first()

@@ -66,3 +66,65 @@ def test_lineage_stage_granularity(tmp_path):
     d = os.path.join(str(tmp_path), "_lineage")
     recs = [json.load(open(os.path.join(d, f))) for f in os.listdir(d)]
     assert {(r["stage"], r["fingerprint"]) for r in recs} == {("parse", "snap-1"), ("parse", "snap-2")}
+
+
+def test_ngram_hot_gram_cap_stays_subquadratic(spark):
+    """A universal trigram must not generate B²/2 candidate pairs: with
+    max_gram_df the hot gram is dropped from candidate generation while
+    genuinely-similar pairs (sharing rare grams) survive with EXACT jaccard
+    (the verify step uses all grams, only generation is capped)."""
+    from opentelemetry_collector_contrib_spark.operators import dedup
+
+    B = 200
+    # every doc shares the universal prefix; docs 2k/2k+1 are near-identical
+    rows = []
+    for i in range(B):
+        tail = f"unique tail {i // 2} alpha beta gamma delta epsilon zeta"
+        suffix = "" if i % 2 == 0 else " extra"
+        rows.append((i, f"the end of {tail}{suffix}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs_df = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, max_gram_df=20
+    )
+    # physical guard: count candidate rows BEFORE the jaccard filter by
+    # checking the pair frame row count — with the cap it is O(B), without
+    # it the universal gram alone contributes B*(B-1)/2 = 19900 candidates
+    pairs = pairs_df.collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert {(2 * k, 2 * k + 1) for k in range(B // 2)} <= found
+    assert len(pairs) < B * 4  # sub-quadratic: no cross-product blowup
+    # exactness: jaccard of a planted pair computed over ALL grams
+    sample = next(r for r in pairs if (r.id_a, r.id_b) == (0, 1))
+    assert sample.jaccard >= 0.5
+
+
+def test_recombine_two_phase_matches_global_window(spark):
+    """De-skewed (bucketed prefix-sum) sessionization must produce exactly
+    the same sessions as the single global window, including sessions that
+    SPAN bucket boundaries, on a 60%-skewed source distribution."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.transformers import recombine
+
+    rows = []
+    for i in range(3000):
+        src = "noisy-svc" if i % 10 < 6 else f"svc-{i % 10}"
+        body = ("START line" if i % 7 == 0 else "cont line") + f" {i}"
+        rows.append((src, i, body))
+    df = spark.createDataFrame(rows, "source string, doc_id long, body string")
+    kw = dict(
+        is_first_entry=F.col("body").startswith("START"),
+        source_col="source", order_col="doc_id", combine_field="body",
+    )
+    # span=100 forces many bucket-boundary sessions (markers every 7 ids)
+    fast = recombine(df, order_bucket_span=100, **kw)
+    slow = recombine(df, **kw)
+    key = lambda r: (r["source"], r["doc_id"])
+    a = sorted([r.asDict() for r in fast.collect()], key=key)
+    b = sorted([r.asDict() for r in slow.collect()], key=key)
+    assert a == b
+    # skew evidence: the two-phase plan's first window partitions on
+    # (source, _bkt) — the hot source is spread across buckets
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan
