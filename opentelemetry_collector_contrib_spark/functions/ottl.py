@@ -41,7 +41,7 @@ TOKEN_RE = re.compile(
   | (?P<float>-?\d+\.\d+)
   | (?P<int>-?\d+)
   | (?P<string>"(?:[^"\\]|\\.)*")
-  | (?P<op>==|!=|<=|>=|=>|<|>|\+|-|\*|/|%|\(|\)|\[|\]|,|\.)
+  | (?P<op>==|!=|<=|>=|=>|<|>|\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|:|,|\.)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
 """,
     re.VERBOSE,
@@ -248,6 +248,24 @@ class Parser:
             if all(isinstance(i, Lit) for i in items):
                 return Lit([i.value for i in items])
             return ListNode(items)
+        if t.text == "{":  # map literal (grammar.go map values): {"k": v}
+            out = {}
+            if self.peek() and self.peek().text != "}":
+                while True:
+                    k = self.next()
+                    if k.kind != "string":
+                        raise ValueError("map literal keys must be strings")
+                    self.expect(":")
+                    v = self.or_expr()
+                    if not isinstance(v, Lit):
+                        raise ValueError("map literal values must be literals")
+                    out[k.text[1:-1]] = v.value
+                    if self.peek() and self.peek().text == ",":
+                        self.next()
+                        continue
+                    break
+            self.expect("}")
+            return Lit(out)
         if t.kind == "string":
             return Lit(t.text[1:-1].encode().decode("unicode_escape"))
         if t.kind == "int":
@@ -500,7 +518,17 @@ def build_registry(error_mode: str = "ignore") -> dict:
         "Base64Decode": lambda c: F.unbase64(c).cast("string"),
         "Log": lambda c: F.log(c),
         "UUID": lambda: F.uuid(),
+        # registered name in the reference is IsInCIDR (func_is_in_cidr.go);
+        # lower-camel alias kept for back-compat with earlier statements
+        "IsInCIDR": lambda c, cidr: _is_in_cidr(c, _as_py(cidr)),
         "IsInCidr": lambda c, cidr: _is_in_cidr(c, _as_py(cidr)),
+        # func_when.go: When(condition, true_value, false_value)
+        "When": lambda cond, t, f: F.when(
+            cond if isinstance(cond, Column) else F.lit(bool(cond)),
+            t if isinstance(t, Column) else F.lit(t),
+        ).otherwise(f if isinstance(f, Column) else F.lit(f)),
+        # func_parse_severity.go: map value → level via literal criteria map
+        "ParseSeverity": lambda c, mapping: _parse_severity_mapping(c, _as_py(mapping)),
         # casing
         "ToSnakeCase": lambda c: F.lower(F.regexp_replace(F.regexp_replace(c, r"([a-z0-9])([A-Z])", r"$1_$2"), r"[\s-]+", "_")),
         "ToCamelCase": lambda c: _to_camel(c),
@@ -669,8 +697,56 @@ def _extract_grok(c: Column, pattern: str) -> Column:
     return _extract_patterns(c, rx)
 
 
+def _parse_severity_mapping(c: Column, mapping: dict) -> Column:
+    """ParseSeverity (func_parse_severity.go): first level whose criteria
+    list matches wins, in mapping order. Criteria: string/int equals,
+    {"range": {"min": m, "max": M}}, and the HTTP shorthands "2xx".."5xx"."""
+    expr = None
+    num = c.cast("double")
+    for level, criteria in mapping.items():
+        cond = F.lit(False)
+        for crit in criteria if isinstance(criteria, list) else [criteria]:
+            if isinstance(crit, dict) and "range" in crit:
+                r = crit["range"]
+                cond = cond | ((num >= float(r["min"])) & (num <= float(r["max"])))
+            elif isinstance(crit, str) and crit in ("2xx", "3xx", "4xx", "5xx"):
+                lo = int(crit[0]) * 100
+                cond = cond | ((num >= lo) & (num <= lo + 99))
+            elif isinstance(crit, (int, float)):
+                cond = cond | (num == float(crit))
+            else:
+                cond = cond | (c.cast("string") == str(crit))
+        expr = F.when(cond, level) if expr is None else expr.when(cond, level)
+    return expr if expr is not None else F.lit(None)
+
+
 def _is_in_cidr(c: Column, cidr: str) -> Column:
-    """IsInCidr(ip_col, 'a.b.c.d/n') — pure bitwise Column math (IPv4)."""
+    """IsInCIDR(ip_col, cidr) — IPv4 via pure bitwise Column math; IPv6 via
+    an Arrow-batched ipaddress UDF (128-bit math has no Column form)."""
+    if ":" in cidr:
+        import ipaddress
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        net6 = ipaddress.ip_network(cidr, strict=False)
+
+        def chk(v):
+            if v is None:
+                return None
+            try:
+                return ipaddress.ip_address(v) in net6
+            except ValueError:
+                return False
+
+        def in6(s):
+            return s.map(chk)
+
+        # explicit annotations as live objects: the module-wide
+        # `from __future__ import annotations` would stringify inline hints,
+        # which pandas_udf can't resolve without a module-level pandas import
+        in6.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf("boolean")(in6)(c.cast("string"))
     net, bits = cidr.split("/")
     bits = int(bits)
     parts = [int(x) for x in net.split(".")]
@@ -784,6 +860,8 @@ LITERAL_ARG_POSITIONS: dict[str, frozenset[int]] = {
     "ExtractPatterns": frozenset([1]),
     "ExtractGrokPatterns": frozenset([1]),
     "IsInCidr": frozenset([1]),
+    "IsInCIDR": frozenset([1]),
+    "ParseSeverity": frozenset([1]),
     "ConvertCase": frozenset([1]),
     "ParseJSON": frozenset([1]),
     "ParseCSV": frozenset([1]),
@@ -1128,6 +1206,18 @@ class Compiler:
             target = self.resolver.column_name(ed.args[0])
             others = [c for c in df.columns if c != target]
             return df.select(*others, f"{target}.*")
+        if name == "delete_index":
+            # func_delete_index.go: remove slice elements [start, end) — end
+            # defaults to start+1; deleting everything yields an empty slice
+            target = self.resolver.column_name(ed.args[0])
+            start = _as_py(self.compile_value(ed.args[1]))
+            end = _as_py(self.compile_value(ed.args[2])) if len(ed.args) > 2 else start + 1
+            arr = F.col(target)
+            new = F.concat(
+                F.slice(arr, 1, start),
+                F.slice(arr, end + 1, F.greatest(F.size(arr) - end, F.lit(0))),
+            )
+            return guarded(target, new)
         if name == "append":
             target = self.resolver.column_name(ed.args[0])
             vals = [self._as_col(self.compile_value(a)) for a in ed.args[1:]]

@@ -106,6 +106,14 @@ VECTORS = [
     ('set(test, Trim("  pass  "))', "pass"),
     # format legacy varargs with a Column argument
     ('set(test, Format("%s-%03d", http_method, 7))', "get-007"),
+    # func_when.go conditional converter
+    ('set(test, When(Len(flags) > 3, "long", "short"))', "long"),
+    ('set(test, When(Len(flags) > 9, "long", "short"))', "short"),
+    # func_is_in_cidr.go — reference name IsInCIDR, IPv4 Column math + IPv6 UDF
+    ('set(test, IsInCIDR("10.1.2.3", "10.1.0.0/16"))', True),
+    ('set(test, IsInCIDR("10.2.2.3", "10.1.0.0/16"))', False),
+    ('set(test, IsInCIDR("2001:db8::1", "2001:db8::/32"))', True),
+    ('set(test, IsInCIDR("2001:db9::1", "2001:db8::/32"))', False),
 ]
 
 WHERE_VECTORS = [
@@ -168,6 +176,34 @@ class TestE2EVectors:
         assert json.loads(got) == {
             "Log": {"id": "1", "Message": "This is a log message!"}
         }
+
+    def test_delete_index_editor(self, ctx):
+        """func_delete_index.go: remove [start, end) from a slice; end
+        defaults to start+1."""
+        got = run1(ctx, "set(nums, nums) where true", col="nums")  # sanity
+        assert got == [1, 2, 3]
+        from opentelemetry_collector_contrib_spark.functions.ottl import transform_processor
+
+        out = transform_processor(ctx, ["delete_index(nums, 1)"]).first()["nums"]
+        assert out == [1, 3]
+        out2 = transform_processor(ctx, ["delete_index(nums, 0, 3)"]).first()["nums"]
+        assert out2 == []
+
+    def test_parse_severity_mapping(self, ctx):
+        """func_parse_severity.go: equals / range / Nxx shorthand criteria,
+        first matching level wins."""
+        from pyspark.sql import functions as F
+
+        df = ctx.withColumn("code", F.lit(503))
+        got = run1(
+            df,
+            'set(test, ParseSeverity(code, {"info": [{"range": {"min": 200, "max": 299}}], "error": ["5xx"]}))',
+        )
+        assert got == "error"
+        df2 = ctx.withColumn("code", F.lit(204))
+        assert run1(df2, 'set(test, ParseSeverity(code, {"info": ["2xx"], "error": ["5xx"]}))') == "info"
+        df3 = ctx.withColumn("lvl", F.lit("warning"))
+        assert run1(df3, 'set(test, ParseSeverity(lvl, {"warn": ["warning", "warn"]}))') == "warn"
 
     def test_xml_roundtrip_benchmark_shape(self, ctx):
         """Benchmark_XML_Functions roundTrip (e2e_test.go:2987-3005):
