@@ -143,6 +143,92 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 2048,
+    iters: int = 10,
+    seed: int = 7,
+):
+    """IVF coarse quantizer: k-means on a bounded driver-side sample.
+
+    The sample is capped (``sample_rows``) so driver memory stays constant
+    regardless of table size — at 10^12 rows you train on a fixed sample and
+    broadcast the centroids, exactly the FAISS IVF recipe. Deterministic:
+    seeded init, fixed iteration count. Returns a (k, dim) numpy array of
+    L2-normalized centroids.
+    """
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True).clip(min=1e-12)
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        sims = sample @ cent.T  # cosine on normalized vectors
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ivf_assign_udf(centroids):
+    """Nearest-centroid assignment — one numpy matmul per Arrow batch."""
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
+        return pd.Series((m @ cent.T).argmax(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``n_probe`` inverted lists
+    whose centroids are nearest the query.
+
+    The alternative scale path to hyperplane LSH (``lsh_topk``): centroids
+    come from a bounded k-means (``train_ivf_centroids``); each vector
+    carries a centroid id (at 10^12 scale: precomputed and used as a
+    PARTITION column, so the probe is partition pruning, not a filter);
+    query time scans ~n_probe/n_centroids of the data then exact-cosines the
+    survivors. Recall rises with n_probe; n_probe == n_centroids is exact.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_centroids, vec_col, seed=seed)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(centroids @ qn))[:n_probe].tolist()
+    assign = ivf_assign_udf(centroids)
+    cand = df.withColumn("_list", assign(F.col(vec_col))).filter(
+        F.col("_list").isin(probe)
+    )
+    qcol = F.array(*[F.lit(float(v)) for v in query])
+    vec = F.transform(vec_col, lambda x: x.cast("double"))
+    return (
+        cand.select(id_col, cosine(vec, qcol).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
 def all_pairs_above(
     df: DataFrame,
     threshold: float = 0.9,

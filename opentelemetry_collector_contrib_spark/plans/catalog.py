@@ -1337,6 +1337,26 @@ def q_simhash(spark, sf_dir):
     return df.select("doc_id", dedup.simhash(F.col("text")).alias("simhash64"))
 
 
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate NN (FAISS-style coarse quantizer): k-means lists +
+    probe. Full probe (n_probe == n_centroids) is provably exact, so the
+    brute-force DuckDB oracle holds while the query exercises the whole IVF
+    machinery (bounded-sample training, centroid assignment UDF, list
+    pruning). Partial-probe recall is pytest-verified."""
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.ivf_topk(
+        emb.filter(F.col("vec_id") != 0), list(q), k=20, n_centroids=8, n_probe=8
+    )
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+SQL_ANN_IVF_TOPK = SQL_COSINE_TOPK
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate NN: random-hyperplane LSH bucket probe then exact cosine
     on candidates (rows-only: bucket membership isn't SQL-expressible; recall
@@ -1443,6 +1463,7 @@ QUERIES = {
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_dedup_pairs": q_embedding_dedup_pairs,
 }
 
@@ -1497,6 +1518,7 @@ ORACLES = {
     "lang_id_stopword": SQL_LANG_ID_STOPWORD,
     "token_count": SQL_TOKEN_COUNT,
     "cosine_topk": SQL_COSINE_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_dedup_pairs": SQL_EMBEDDING_DEDUP_PAIRS,
     # minhash_lsh / simhash / ngram_jaccard: intentionally no oracle —
     # xxhash64-based, verified in tests/test_dedup.py instead.

@@ -87,6 +87,72 @@ def loadbalance_repartition(df: DataFrame, routing_key: str, num_partitions: int
     return df.repartition(num_partitions, F.xxhash64(F.col(routing_key)))
 
 
+def kafka_payload(
+    df: DataFrame, key_col: str | None = None, value_cols: list[str] | None = None
+) -> DataFrame:
+    """Shape a frame into the Kafka sink contract: (key binary?, value binary).
+
+    Reference: ``exporter/kafkaexporter`` marshals each record batch to a
+    keyed message (otlp_json / otlp_proto); here value = JSON-lines of the
+    selected columns (codegen'd ``to_json``, no Python), key = the routing
+    column — Kafka partitions by key exactly like the exporter's
+    partition_traces_by_id / resource-attribute keying.
+    """
+    cols = value_cols or [c for c in df.columns if c != key_col]
+    value = F.to_json(F.struct(*[F.col(c) for c in cols])).cast("binary").alias("value")
+    if key_col:
+        return df.select(F.col(key_col).cast("string").cast("binary").alias("key"), value)
+    return df.select(value)
+
+
+def kafka_exporter(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    key_col: str | None = None,
+    value_cols: list[str] | None = None,
+) -> None:
+    """kafkaexporter: batch write to a topic.
+
+    The payload shaping (``kafka_payload``) is fully tested; the actual
+    write needs the spark-sql-kafka connector on the classpath and a broker
+    — neither exists in this sandbox, so the send itself is runtime-gated
+    with a clear error. On a real cluster this is one line of
+    ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``.
+    """
+    payload = kafka_payload(df, key_col, value_cols)
+    try:
+        (
+            payload.write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .save()
+        )
+    except Exception as e:  # connector jar / broker absent
+        raise RuntimeError(
+            "kafka sink needs the spark-sql-kafka connector and a reachable "
+            f"broker (bootstrap={bootstrap_servers!r}): {e}"
+        ) from e
+
+
+def kafka_stream_exporter(
+    stream_df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str | None = None,
+):
+    """Streaming form: exactly-once-per-epoch Kafka sink via the commit log."""
+    payload = kafka_payload(stream_df, key_col)
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def stdout_exporter(df: DataFrame, n: int = 20) -> None:
     """stanza stdout output (operator/output/stdout/output.go:25-34)."""
     df.show(n, truncate=False)

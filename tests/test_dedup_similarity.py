@@ -113,6 +113,35 @@ def test_lsh_topk_finds_near_neighbor(spark, vectors):
     assert 0 in ids and 100 in ids
 
 
+def test_ivf_topk_recall_and_exactness_at_full_probe(spark, vectors):
+    """IVF coarse-quantizer probe: high recall at n_probe<k_centroids, and
+    EXACT (= brute force) when probing every list."""
+    q = list(vectors.filter(F.col("vec_id") == 0).first().embedding)
+    exact = [r.vec_id for r in similarity.brute_force_topk(vectors, q, k=5).collect()]
+    cent = similarity.train_ivf_centroids(vectors, k=8, seed=7)
+    # full probe == exact
+    full = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            vectors, q, k=5, n_centroids=8, n_probe=8, centroids=cent
+        ).collect()
+    ]
+    assert full == exact
+    # partial probe finds the query vector and its planted near-duplicate
+    part = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            vectors, q, k=5, n_centroids=8, n_probe=2, centroids=cent
+        ).collect()
+    ]
+    assert 0 in part and 100 in part
+    # deterministic: seeded training reproduces the same centroids
+    cent2 = similarity.train_ivf_centroids(vectors, k=8, seed=7)
+    import numpy as np
+
+    assert np.allclose(cent, cent2)
+
+
 def test_all_pairs_above_finds_duplicate_pairs(spark, vectors):
     pairs = similarity.all_pairs_above(vectors, threshold=0.99, bits=16, bands=8).collect()
     got = {(r.id_a, r.id_b) for r in pairs}

@@ -293,3 +293,26 @@ class TestMetrics:
         df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
         out = metrics.delta_to_rate(df, ["series"], "ts", "value").collect()
         assert len(out) == 1 and abs(out[0].rate_per_s - 5.0) < 1e-9
+
+
+class TestKafkaPlumbing:
+    def test_kafka_payload_shape(self, tiny):
+        """kafkaexporter message shaping: binary key/value, JSON value body."""
+        import json
+
+        from opentelemetry_collector_contrib_spark.sources import sinks
+
+        out = sinks.kafka_payload(tiny.select("id", "sev", "comp"), key_col="id")
+        assert out.columns == ["key", "value"]
+        assert dict(out.dtypes) == {"key": "binary", "value": "binary"}
+        r = out.orderBy("key").first()
+        assert bytes(r.key) == b"r1"
+        assert json.loads(bytes(r.value)) == {"sev": "ERROR", "comp": "auth"}
+
+    def test_kafka_exporter_gated_without_broker(self, tiny):
+        import pytest as _pytest
+
+        from opentelemetry_collector_contrib_spark.sources import sinks
+
+        with _pytest.raises(RuntimeError, match="kafka sink needs"):
+            sinks.kafka_exporter(tiny.select("id"), "localhost:9", "t")
