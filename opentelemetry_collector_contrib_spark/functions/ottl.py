@@ -179,6 +179,12 @@ class Parser:
         if t and t.text in ("==", "!=", "<", "<=", ">", ">="):
             op = self.next().text
             return BinOp(op, left, self.addsub())
+        # expr-lang word operators (stanza `if`/router/filter expressions use
+        # github.com/expr-lang/expr — helper/expr_string.go); harmless
+        # extension for OTTL inputs since the words never appear there
+        if t and t.text in ("matches", "contains", "startsWith", "endsWith"):
+            op = self.next().text
+            return BinOp(op, left, self.addsub())
         return left
 
     def addsub(self):
@@ -1045,6 +1051,15 @@ class Compiler:
         if node.op in ("==", "!=") and (l is None or r is None):
             target = self._as_col(r if l is None else l)
             return target.isNull() if node.op == "==" else target.isNotNull()
+        if node.op in ("matches", "contains", "startsWith", "endsWith"):
+            lc = self._as_col(l)
+            if node.op == "matches":
+                return lc.rlike(_jre(r))
+            if node.op == "contains":
+                return lc.contains(r if isinstance(r, Column) else F.lit(r))
+            if node.op == "startsWith":
+                return lc.startswith(r if isinstance(r, Column) else F.lit(r))
+            return lc.endswith(r if isinstance(r, Column) else F.lit(r))
         lc, rc = self._as_col(l), self._as_col(r)
         ops = {
             "==": lambda a, b: a == b,

@@ -1,0 +1,161 @@
+"""Run a REAL collector-YAML document end-to-end on the Spark engine.
+
+The config shape mirrors the reference's own testdata:
+receiver/filelogreceiver/testdata/config.yaml (filelog + regex_parser with
+timestamp:/severity: sub-parser blocks), processor/transformprocessor/
+testdata/config.yaml (log_statements), connector/routingconnector/testdata/
+config (route() where ... table), exporter file.
+"""
+
+import os
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.plans.collector_config import (
+    load_collector_config,
+)
+
+LINES = [
+    "2024-03-01 ERROR boom in auth",
+    "2024-03-01 INFO hello world",
+    "2024-03-02 WARN disk low",
+    "2024-03-02 ERROR crash in db",
+    "2024-03-02 DEBUG noisy detail",
+    "not a log line",
+]
+
+
+@pytest.fixture(scope="module")
+def log_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("collector_logs")
+    p = d / "simple.log"
+    p.write_text("\n".join(LINES) + "\n")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def config(log_file):
+    return {
+        "receivers": {
+            "filelog": {
+                "include": [log_file],
+                "start_at": "beginning",
+                "operators": [
+                    {
+                        "type": "regex_parser",
+                        "regex": r"^(?P<time>\d{4}-\d{2}-\d{2}) (?P<sev>[A-Z]*) (?P<msg>.*)$",
+                        "timestamp": {"parse_from": "attributes.time", "layout": "%Y-%m-%d"},
+                        "severity": {"parse_from": "attributes.sev"},
+                    },
+                ],
+            }
+        },
+        "processors": {
+            "transform": {
+                "log_statements": [
+                    {
+                        "context": "log",
+                        "statements": [
+                            'set(env, "prod")',
+                            'set(flagged, "yes") where severity_number >= 17',
+                        ],
+                    }
+                ]
+            },
+            "filter/drop_debug": {"logs": {"log_record": ["severity_number == 5"]}},
+        },
+        "connectors": {
+            "routing": {
+                "default_pipelines": ["logs/other"],
+                "table": [
+                    {
+                        "statement": "route() where severity_number >= 17",
+                        "pipelines": ["logs/errors"],
+                    }
+                ],
+            }
+        },
+        "exporters": {
+            "file/errors": {"path": "unused", "format": "json"},
+            "file/other": {"path": "unused", "format": "parquet"},
+        },
+        "service": {
+            "pipelines": {
+                "logs/in": {
+                    "receivers": ["filelog"],
+                    "processors": ["transform", "filter/drop_debug"],
+                    "exporters": ["routing"],
+                },
+                "logs/errors": {"receivers": ["routing"], "exporters": ["file/errors"]},
+                "logs/other": {"receivers": ["routing"], "exporters": ["file/other"]},
+            }
+        },
+    }
+
+
+def test_collector_yaml_end_to_end(spark, config, tmp_path):
+    t = load_collector_config(spark, config)
+
+    # parse + sub-parsers: severity + timestamp promoted
+    inp = t.frames["logs/in"]
+    rows = {r.msg: r for r in inp.collect() if r.msg is not None}
+    assert rows["boom in auth"].severity_text == "ERROR"
+    assert rows["boom in auth"].severity_number == 17
+    assert str(rows["boom in auth"].timestamp).startswith("2024-03-01")
+    # transform processor applied
+    assert rows["boom in auth"].env == "prod" and rows["boom in auth"].flagged == "yes"
+    assert rows["hello world"].flagged is None
+    # filter processor dropped DEBUG (severity 5)
+    assert "noisy detail" not in rows
+    # unparseable line flows with _parse_error (on_error=send)
+    errs = inp.filter("_parse_error").count()
+    assert errs == 1
+
+    # routing connector: first-match move
+    errors = {r.msg for r in t.frames["logs/errors"].collect()}
+    other = {r.msg for r in t.frames["logs/other"].collect()}
+    assert errors == {"boom in auth", "crash in db"}
+    assert "hello world" in other and "disk low" in other
+    assert errors.isdisjoint(other)
+
+    # file exporters materialize under out_dir per (pipeline, exporter)
+    written = t.write(str(tmp_path))
+    assert ("logs/errors", "file/errors") in written
+    files = os.listdir(written[("logs/errors", "file/errors")])
+    assert any(f.endswith(".json") for f in files)
+
+
+def test_collector_count_connector(spark, config, log_file):
+    cfg = dict(config)
+    cfg["connectors"] = {
+        "count": {
+            "logs": {
+                "sev.count": {
+                    "attributes": [{"key": "sev", "default_value": "none"}],
+                }
+            }
+        }
+    }
+    cfg["service"] = {
+        "pipelines": {
+            "logs/in": {
+                "receivers": ["filelog"],
+                "processors": ["transform", "filter/drop_debug"],
+                "exporters": ["count"],
+            },
+            "logs/counts": {"receivers": ["count"], "exporters": ["file/other"]},
+        }
+    }
+    t = load_collector_config(spark, cfg)
+    counts = {r.sev: r["count"] for r in t.frames["logs/counts"].collect()}
+    assert counts["ERROR"] == 2 and counts["INFO"] == 1 and counts["WARN"] == 1
+    assert counts["none"] == 1  # the unparseable line: default_value bucket
+
+
+def test_unsupported_component_raises(spark, config):
+    cfg = {
+        "receivers": {"otlp": {}},
+        "service": {"pipelines": {"logs": {"receivers": ["otlp"], "exporters": []}}},
+    }
+    with pytest.raises(ValueError, match="unsupported receiver 'otlp'"):
+        load_collector_config(spark, cfg)
