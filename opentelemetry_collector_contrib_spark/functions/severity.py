@@ -5,11 +5,14 @@ and ``pkg/stanza/entry/severity.go:10-51``):
 
 - 25-level enum: Default=0, Trace=1..Trace4=4, Debug=5..8, Info=9..12,
   Warn=13..16, Error=17..20, Fatal=21..24.
-- case-insensitive text aliases: trace/debug/info/notice/warn(ing)/err(or)/
-  crit/alert/emerg/fatal/catastrophe.
-- bare integers 1..24 map directly to the enum value.
-- HTTP-ish numeric ranges ("2xx"→Info, "3xx"→Info2, "4xx"→Warn, "5xx"→Error)
-  cover values 200-599.
+- case-insensitive text aliases: the level names trace..fatal4 plus
+  warning/warning2-4 → warn* and err/err2-4 → error* — EXACTLY the builtin
+  default mapping (getBuiltinMapping's default branch); notice/crit/alert/
+  emerg-style tokens and HTTP "Nxx" ranges are NOT defaults — they activate
+  only through an explicit ``mapping``/preset (severity_builder.go:94-105
+  defines the Nxx keys for mapping use; the syslog parser carries its own
+  PRI table).
+- bare integer strings "1".."24" map directly to the enum value.
 
 Implemented as one ``CASE WHEN`` chain over a lowered token — whole-stage
 codegen, no UDF, no shuffle.
@@ -20,22 +23,18 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# canonical text → number (severity_builder.go:24-80)
+# canonical text → number: the reference's builtin default mapping
+# (severity_builder.go:18-85 "aliases" + warning*/err* additions)
 SEVERITY_TEXT_TO_NUMBER: dict[str, int] = {
     "default": 0,
     "trace": 1, "trace2": 2, "trace3": 3, "trace4": 4,
     "debug": 5, "debug2": 6, "debug3": 7, "debug4": 8,
     "info": 9, "info2": 10, "info3": 11, "info4": 12,
-    "notice": 10,
     "warn": 13, "warn2": 14, "warn3": 15, "warn4": 16,
-    "warning": 13,
+    "warning": 13, "warning2": 14, "warning3": 15, "warning4": 16,
     "error": 17, "error2": 18, "error3": 19, "error4": 20,
-    "err": 17,
-    "crit": 21, "critical": 21,
-    "alert": 22,
-    "emerg": 23, "emergency": 23,
+    "err": 17, "err2": 18, "err3": 19, "err4": 20,
     "fatal": 21, "fatal2": 22, "fatal3": 23, "fatal4": 24,
-    "catastrophe": 24,
 }
 
 NUMBER_TO_CANONICAL_TEXT = {
@@ -73,10 +72,6 @@ def severity_number_col(token: Column) -> Column:
         chain = F.when(low == k, v) if chain is None else chain.when(low == k, v)
     return (
         chain.when(as_int.between(1, 24), as_int)
-        .when(as_int.between(200, 299), F.lit(9))   # 2xx → Info
-        .when(as_int.between(300, 399), F.lit(10))  # 3xx → Info2
-        .when(as_int.between(400, 499), F.lit(13))  # 4xx → Warn
-        .when(as_int.between(500, 599), F.lit(17))  # 5xx → Error
         .otherwise(F.lit(0))  # null / unmappable → Default
         .cast("int")
     )

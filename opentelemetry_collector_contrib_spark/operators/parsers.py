@@ -235,43 +235,89 @@ def time_parser(
     return df.withColumn(out, col)
 
 
-def severity_parser(df: DataFrame, parse_from: str = "sev") -> DataFrame:
+def severity_parser(
+    df: DataFrame,
+    parse_from: str = "sev",
+    mapping: dict | None = None,
+    preset: str = "default",
+    overwrite_text: bool = True,
+) -> DataFrame:
     """Raw token → (severity_number, severity_text).
 
-    Reference: ``pkg/stanza/operator/helper/severity_builder.go:18-80``.
+    Reference: ``pkg/stanza/operator/helper/severity_builder.go:18-105`` and
+    the SeverityConfig contract (``Preset``, ``Mapping``, ``OverwriteText``).
 
-    Implemented as two broadcast hash joins against literal dimension frames
-    (token→number, number→text) with a 5-branch numeric-range fallback.
-    A when-chain Column is measured ~30× slower here: CollapseProject
-    inlines ``lower(trim(x))`` into every branch (no CSE across CaseWhen
-    branches) and the 46-branch chain falls out of codegen. The broadcast
-    join is the SURVEY §2.2 "broadcast lookup map" mapping and scales to any
-    alias-table size.
+    ``mapping`` entries extend/OVERRIDE the builtin mapping (severity_test.go
+    "override-standard"): key = level alias or enum number; value = string
+    (case-insensitive), number, ``{"min": a, "max": b}`` range, HTTP "2xx"..
+    "5xx" shorthand, or a list of those. ``preset="none"`` drops the builtin
+    mapping entirely. ``overwrite_text=True`` emits the canonical level text
+    (our engine default — routing keys on it); ``False`` keeps the raw token
+    as SeverityText like the reference's default.
+
+    Implemented as a broadcast hash join against a literal token dim (exact
+    matches — aliases, enum ints, custom strings/numbers) plus a when-chain
+    for range criteria. A pure when-chain is measured ~30× slower here:
+    CollapseProject inlines ``lower(trim(x))`` into every branch (no CSE
+    across CaseWhen branches) and the 46-branch chain falls out of codegen.
     """
     from ..functions.severity import NUMBER_TO_CANONICAL_TEXT, SEVERITY_TEXT_TO_NUMBER
 
     spark = df.sparkSession
-    # The numeric forms (bare enum ints 1-24, HTTP-ish 200-599) are folded
-    # into the SAME broadcast dim as decimal-string keys — a per-row
-    # try_cast fallback chain re-evaluates lower(trim(x)) per reference
-    # (measured 78μs/row); one 464-row hash lookup is ~0.
-    tok_rows = [
-        (k, v, NUMBER_TO_CANONICAL_TEXT[v]) for k, v in SEVERITY_TEXT_TO_NUMBER.items()
-    ]
-    for i in range(1, 25):
-        tok_rows.append((str(i), i, NUMBER_TO_CANONICAL_TEXT[i]))
-    for i in range(200, 600):
-        v = 9 if i < 300 else 10 if i < 400 else 13 if i < 500 else 17
-        tok_rows.append((str(i), v, NUMBER_TO_CANONICAL_TEXT[v]))
-    dim = spark.createDataFrame(
-        tok_rows, "_sev_tok string, severity_number int, severity_text string"
-    )
-    df = df.withColumn("_sev_norm", F.lower(F.trim(F.col(parse_from))))
-    df = df.join(
-        F.broadcast(dim), F.col("_sev_norm") == F.col("_sev_tok"), "left"
-    ).drop("_sev_tok", "_sev_norm")
-    df = df.withColumn("severity_number", F.coalesce("severity_number", F.lit(0)).cast("int"))
-    return df.withColumn("severity_text", F.coalesce("severity_text", F.lit("DEFAULT")))
+    base: dict[str, int] = {} if preset == "none" else dict(SEVERITY_TEXT_TO_NUMBER)
+    if preset != "none":
+        for i in range(1, 25):
+            base[str(i)] = i
+
+    def _level_number(key: str) -> int:
+        k = str(key).lower()
+        if k in SEVERITY_TEXT_TO_NUMBER:
+            return SEVERITY_TEXT_TO_NUMBER[k]
+        return int(k)
+
+    ranges: list[tuple[int, int, int]] = []  # (lo, hi, level)
+    for key, crit in (mapping or {}).items():
+        level = _level_number(key)
+        for c in crit if isinstance(crit, list) else [crit]:
+            if isinstance(c, dict):
+                ranges.append((int(c["min"]), int(c["max"]), level))
+            elif isinstance(c, str) and c in ("2xx", "3xx", "4xx", "5xx"):
+                lo = int(c[0]) * 100
+                ranges.append((lo, lo + 99, level))
+            else:
+                base[str(c).lower()] = level  # custom overrides builtin
+
+    tok_rows = [(k, v, NUMBER_TO_CANONICAL_TEXT[v]) for k, v in base.items()]
+    norm = F.lower(F.trim(F.col(parse_from)))
+    if tok_rows:
+        dim = spark.createDataFrame(
+            tok_rows, "_sev_tok string, _dim_num int, _dim_text string"
+        )
+        df = df.withColumn("_sev_norm", norm)
+        df = df.join(
+            F.broadcast(dim), F.col("_sev_norm") == F.col("_sev_tok"), "left"
+        ).drop("_sev_tok", "_sev_norm")
+    else:
+        df = df.withColumn("_dim_num", F.lit(None).cast("int")).withColumn(
+            "_dim_text", F.lit(None).cast("string")
+        )
+    num = F.col("_dim_num")
+    as_num = F.trim(F.col(parse_from)).try_cast("double")
+    for lo, hi, level in ranges:
+        num = F.coalesce(num, F.when(as_num.between(lo, hi), F.lit(level)))
+    df = df.withColumn("severity_number", F.coalesce(num, F.lit(0)).cast("int"))
+    if overwrite_text:
+        from ..functions.severity import severity_text_col
+
+        df = df.withColumn(
+            "severity_text",
+            F.coalesce(F.col("_dim_text"), severity_text_col(F.col("severity_number"))),
+        )
+    else:
+        # reference default: SeverityText = the raw token, even when the
+        # level is unmapped (severity_test.go "unknown": Default + "blah")
+        df = df.withColumn("severity_text", F.col(parse_from).cast("string"))
+    return df.drop("_dim_num", "_dim_text")
 
 
 def trace_parser(

@@ -39,6 +39,10 @@ JSON_BODY_SCHEMA = (
     "latency_ms int, msg string"
 )
 
+#: the flagship pipeline's explicit severity mapping config (HTTP status →
+#: level, a mapping feature per severity_builder.go:94-105, not a builtin)
+PIPELINE_SEVERITY_MAPPING = {"info": "2xx", "info2": "3xx", "warn": "4xx", "error": "5xx"}
+
 
 def fused_parse_arrow(df: DataFrame) -> DataFrame:
     """Fused decode + parse in ONE Arrow pass (no second Python roundtrip).
@@ -128,6 +132,12 @@ def fused_parse_arrow(df: DataFrame) -> DataFrame:
             low = ex["sev"].str.lower()
             base = low.map(SEVERITY_TEXT_TO_NUMBER)
             num = pd.to_numeric(low, errors="coerce")
+            # builtin default mapping (aliases + "1".."24") PLUS the
+            # flagship pipeline's explicit severity mapping config
+            # {info: 2xx, info2: 3xx, warn: 4xx, error: 5xx} — HTTP ranges
+            # are a mapping feature in the reference (severity_builder.go
+            # :94-105), not builtin defaults; this fused kernel hard-wires
+            # the flagship's FIXTURES.md config (PIPELINE_SEVERITY_MAPPING)
             sn = pd.Series(
                 np.select(
                     [
@@ -216,7 +226,7 @@ def parse_stage(df: DataFrame, regex_mode: str = "arrow") -> DataFrame:
         )
     )
     df = parsers.time_parser(df, "ts_raw", "timestamp", "%Y-%m-%dT%H:%M:%S.%fZ")
-    df = parsers.severity_parser(df, "sev_raw")
+    df = parsers.severity_parser(df, "sev_raw", mapping=PIPELINE_SEVERITY_MAPPING)
     # observed_timestamp: ingest time in the reference (entry.go:38-43); here
     # the deterministic event time stands in so tests are replayable.
     return df.withColumn("observed_timestamp", F.col("timestamp"))

@@ -7,11 +7,16 @@ from pyspark.sql import functions as F
 from opentelemetry_collector_contrib_spark.functions.severity import severity_number_col
 from opentelemetry_collector_contrib_spark.functions.timefmt import strptime_to_spark
 
+# builtin DEFAULT mapping exactly (severity_builder.go:18-85): level aliases
+# + warning*/err* only — notice/crit/HTTP-range tokens are NOT defaults
+# (they require an explicit mapping; see TestSeverityMappingConfig)
 SEV_CASES = [
-    ("trace", 1), ("TRACE", 1), ("Debug", 5), ("info", 9), ("notice", 10),
-    ("warn", 13), ("WARNING", 13), ("error", 17), ("ERR", 17), ("fatal", 21),
-    ("crit", 21), ("alert", 22), ("emerg", 23), ("catastrophe", 24),
-    ("17", 17), ("5", 5), ("404", 13), ("503", 17), ("204", 9), ("301", 10),
+    ("trace", 1), ("TRACE", 1), ("Debug", 5), ("info", 9),
+    ("warn", 13), ("WARNING", 13), ("warning3", 15), ("error", 17),
+    ("ERR", 17), ("err4", 20), ("fatal", 21), ("fatal4", 24),
+    ("17", 17), ("5", 5),
+    ("notice", 0), ("crit", 0), ("alert", 0), ("emerg", 0), ("catastrophe", 0),
+    ("404", 0), ("503", 0), ("204", 0), ("301", 0),
     ("unknown-token", 0), ("", 0), (None, 0), ("999", 0), ("0", 0), ("25", 0),
 ]
 
@@ -49,3 +54,64 @@ def test_time_parse_roundtrip(spark):
     out = time_parser(df, "ts", "t", "%Y-%m-%dT%H:%M:%S.%fZ").collect()
     assert out[0].t is not None and out[0].t.microsecond == 500000
     assert out[1].t is None  # try_to_timestamp: failure → null, not task error
+
+
+class TestSeverityMappingConfig:
+    """Port of helper/severity_test.go cases: custom mapping values
+    (string/int/list/range/Nxx), override-standard, preset=none,
+    overwrite_text."""
+
+    def _parse(self, spark, samples, **kw):
+        from opentelemetry_collector_contrib_spark.operators.parsers import severity_parser
+
+        df = spark.createDataFrame([(s,) for s in samples], "sev string")
+        out = severity_parser(df, "sev", **kw)
+        return {r.sev: (r.severity_number, r.severity_text) for r in out.collect()}
+
+    def test_custom_string_and_caps_key(self, spark):
+        got = self._parse(spark, ["NOOOOOOO"], mapping={"ErRoR": "NOOOOOOO"})
+        assert got["NOOOOOOO"] == (17, "ERROR")
+
+    def test_custom_int_and_mixed_list(self, spark):
+        got = self._parse(
+            spark, ["1234", "ThiS Is BaD", "other"],
+            mapping={"error": ["NOOOOOOO", "this is bad", 1234]},
+        )
+        assert got["1234"][0] == 17 and got["ThiS Is BaD"][0] == 17
+        assert got["other"][0] == 0
+
+    def test_numbered_level_key(self, spark):
+        got = self._parse(spark, ["critical"], mapping={"error2": "critical"})
+        assert got["critical"] == (18, "ERROR2")
+
+    def test_override_standard(self, spark):
+        """severity_test.go override-standard: custom wins over builtin."""
+        got = self._parse(spark, ["error"], mapping={"error3": ["error"]})
+        assert got["error"][0] == 19
+
+    def test_range_and_boundaries(self, spark):
+        got = self._parse(
+            spark, ["119", "120", "123", "125", "126"],
+            mapping={"error": {"min": 120, "max": 125}},
+        )
+        assert [got[s][0] for s in ["119", "120", "123", "125", "126"]] == [0, 17, 17, 17, 0]
+
+    def test_http_shorthands(self, spark):
+        got = self._parse(
+            spark, ["204", "301", "404", "503", "600"],
+            mapping={"info": "3xx", "error3": "4xx", "debug4": "5xx", "info2": "2xx"},
+        )
+        assert got["204"][0] == 10 and got["301"][0] == 9
+        assert got["404"][0] == 19 and got["503"][0] == 8 and got["600"][0] == 0
+
+    def test_preset_none_drops_builtin(self, spark):
+        got = self._parse(spark, ["error"], preset="none")
+        assert got["error"][0] == 0
+        got2 = self._parse(spark, ["error", "boom"], preset="none", mapping={"fatal": "boom"})
+        assert got2["error"][0] == 0 and got2["boom"][0] == 21
+
+    def test_overwrite_text_false_keeps_raw(self, spark):
+        """severity_test.go 'unknown'/'error' default: text = raw token."""
+        got = self._parse(spark, ["Error", "blah"], overwrite_text=False)
+        assert got["Error"] == (17, "Error")
+        assert got["blah"] == (0, "blah")
