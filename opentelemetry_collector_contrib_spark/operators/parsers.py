@@ -212,14 +212,37 @@ def time_parser(
 ) -> DataFrame:
     """Event-time parse; layout_type ∈ strptime | spark | epoch_{s,ms,us,ns}.
 
-    Reference: ``pkg/stanza/operator/helper/time.go:24-31,74-123``.
-    ``try_to_timestamp`` keeps parse failures as nulls instead of failing the
-    task (on_error: send).
+    Reference: ``pkg/stanza/operator/helper/time.go:24-31,74-123`` with the
+    ctimefmt directive table. Spark-parseable layouts run JVM-side
+    (``try_to_timestamp``, failure → null, on_error: send); layouts with
+    directives Spark cannot parse (%a/%A day names, %Z named zones,
+    space-padded %e/%o, %i bare-hour offsets, 9-digit %s) take a vectorized
+    pandas fallback with the same null-on-failure contract.
     """
+    from ..functions.timefmt import spark_safe_layout, strptime_arrow_parser
+
     src = F.col(parse_from)
+    if layout_type == "strptime" and not spark_safe_layout(layout):
+        import pandas as pd  # noqa: F401
+
+        parse = strptime_arrow_parser(layout)
+
+        @F.pandas_udf("timestamp")
+        def _parse_ts(s: pd.Series) -> pd.Series:
+            return parse(s)
+
+        return df.withColumn(out, _parse_ts(src.cast("string")))
     if layout_type == "strptime":
+        from ..functions.timefmt import layout_has_year
+
         fmt = strptime_to_spark(layout)
         col = F.try_to_timestamp(src, F.lit(fmt))
+        if not layout_has_year(layout):
+            # SetMissingYear: anchor year-less layouts to the current year
+            # (Spark's parser defaults them to 1970)
+            import datetime as _dt
+
+            col = col + F.make_interval(years=F.lit(_dt.datetime.now().year - 1970))
     elif layout_type == "spark":
         col = F.try_to_timestamp(src, F.lit(layout))
     elif layout_type == "epoch_s":

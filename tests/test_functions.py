@@ -34,7 +34,8 @@ def test_severity_mapping(spark):
     [
         ("%Y-%m-%d %H:%M:%S", "yyyy-MM-dd HH:mm:ss"),
         ("%Y-%m-%dT%H:%M:%S.%fZ", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
-        ("%d/%b/%Y:%H:%M:%S %z", "dd/MMM/yyyy:HH:mm:ss xx"),
+        # ctimefmt %z = Go "Z0700": accepts Z or ±hhmm ⇒ JDK "XX"
+        ("%d/%b/%Y:%H:%M:%S %z", "dd/MMM/yyyy:HH:mm:ss XX"),
         ("%H:%M", "HH:mm"),
     ],
 )
@@ -115,3 +116,62 @@ class TestSeverityMappingConfig:
         got = self._parse(spark, ["Error", "blah"], overwrite_text=False)
         assert got["Error"] == (17, "Error")
         assert got["blah"] == (0, "blah")
+
+
+class TestTimeLayouts:
+    """Port of helper/time_test.go strptime layouts over the ctimefmt
+    directive table (ctimefmt.go:31-70). Our engine stores wall-clock times
+    (UTC-normalized when the layout carries an offset); named zones parse
+    with offset 0 exactly like Go time.Parse without a location database, so
+    the expected values below are the reference's wall-clock components."""
+
+    def _parse(self, spark, sample, layout):
+        from opentelemetry_collector_contrib_spark.operators.parsers import time_parser
+
+        df = spark.createDataFrame([(sample,)], "ts_in string")
+        return time_parser(df, "ts_in", "t", layout).first().t
+
+    CASES = [
+        # (sample, strptime layout, expected iso — None=current-year anchor)
+        ("Mon Jan 2 15:04:05 UTC 2006", "%a %b %e %H:%M:%S %Z %Y", "2006-01-02T15:04:05"),
+        ("Mon Jan 2 15:04:05 MST 2006", "%a %b %e %H:%M:%S %Z %Y", "2006-01-02T15:04:05"),
+        ("Mon Jan 02 15:04:05 MST 2006", "%a %b %d %H:%M:%S %Z %Y", "2006-01-02T15:04:05"),
+        ("2020-06-09T15:39:58", "%Y-%m-%dT%H:%M:%S", "2020-06-09T15:39:58"),
+        ("2019-11-05 10:38:35.118 HST", "%Y-%m-%d %H:%M:%S.%L %Z", "2019-11-05T10:38:35.118000"),
+        ("3/4/2018 11:52:29", "%q/%g/%Y %H:%M:%S", "2018-03-04T11:52:29"),
+        # offset layouts normalize to UTC: 09:34:32.901-1000 = 19:34:32.901Z
+        ("2019-11-27T09:34:32.901-1000", "%Y-%m-%dT%H:%M:%S.%L%z", "2019-11-27T19:34:32.901000"),
+        ("2019-11-27T09:34:32.901-10:00", "%Y-%m-%dT%H:%M:%S.%L%j", "2019-11-27T19:34:32.901000"),
+        ("2019-11-27T09:34:32.901Z", "%Y-%m-%dT%H:%M:%S.%LZ", "2019-11-27T09:34:32.901000"),
+        # %s is NANOseconds in ctimefmt (truncated to micros here)
+        ("2021-02-03T04:05:06.123456789Z", "%Y-%m-%dT%H:%M:%S.%sZ", "2021-02-03T04:05:06.123456"),
+        ("06/01/2021 3:29:29 PM", "%d/%m/%Y %l:%M:%S %p", "2021-01-06T15:29:29"),
+        ("16-Dec-2020 12:00:00", "%d-%b-%Y %H:%M:%S", "2020-12-16T12:00:00"),
+        ("10/Feb/2023:17:44:30 +0000", "%d/%b/%Y:%H:%M:%S %z", "2023-02-10T17:44:30"),
+    ]
+
+    @pytest.mark.parametrize("sample,layout,expected", CASES, ids=lambda v: str(v)[:40])
+    def test_layout(self, spark, sample, layout, expected):
+        got = self._parse(spark, sample, layout)
+        assert got is not None, (sample, layout)
+        assert got.isoformat() == expected
+
+    def test_missing_year_anchors_to_current(self, spark):
+        """timeutils SetMissingYear: layouts without a year directive anchor
+        to the current year — on BOTH the JVM path (%b: Spark-safe) and the
+        Arrow path (%a forces fallback)."""
+        import datetime
+
+        y = datetime.datetime.now().year
+        jvm = self._parse(spark, "Jun 09 11:39:45", "%b %d %H:%M:%S")
+        assert (jvm.year, jvm.month, jvm.day) == (y, 6, 9)
+        arrow = self._parse(spark, "Tue Jun 09 11:39:45", "%a %b %d %H:%M:%S")
+        assert (arrow.year, arrow.hour) == (y, 11)
+
+    def test_kitchen_clock(self, spark):
+        got = self._parse(spark, "12:34PM", "%H:%M%p")
+        assert (got.hour, got.minute) == (12, 34)
+
+    def test_parse_failure_is_null(self, spark):
+        assert self._parse(spark, "garbage", "%a %b %e %H:%M:%S %Z %Y") is None
+        assert self._parse(spark, "garbage", "%Y-%m-%d") is None
