@@ -946,12 +946,21 @@ def q_ottl_xml(spark, sf_dir):
     reconstructs the expected strings from the underlying columns."""
     from ..functions.ottl import transform_processor
 
-    df = _t(spark, sf_dir, "events").withColumn(
-        "body",
-        F.format_string(
-            '<Log id="%s"><Type>%s</Type><Msg>m %s</Msg></Log>',
-            F.col("user_id"), F.col("event_type"), F.col("event_id"),
-        ),
+    # Python-UDF-bound stage with NO shuffle anywhere: a single small
+    # parquet file would otherwise run the whole job as ONE task regardless
+    # of cores. One explicit exchange buys full parallelism for the
+    # per-document rewrites (the shuffle is ~2 columns × |events|, trivial
+    # next to 4 XML parses/row).
+    df = (
+        _t(spark, sf_dir, "events")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn(
+            "body",
+            F.format_string(
+                '<Log id="%s"><Type>%s</Type><Msg>m %s</Msg></Log>',
+                F.col("user_id"), F.col("event_type"), F.col("event_id"),
+            ),
+        )
     )
     df = transform_processor(
         df,
@@ -1325,7 +1334,9 @@ def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (rows-only check: xxhash64-based
     signatures have no DuckDB equivalent; semantics are pytest-verified
     against a brute-force Jaccard oracle in tests/test_dedup.py)."""
-    df = _t(spark, sf_dir, "documents")
+    df = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # signature HOFs are CPU-bound; a single small file = one task
     return dedup.minhash_lsh_pairs(
         df, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5
     )
@@ -1333,7 +1344,11 @@ def q_minhash_lsh(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     """SimHash 64-bit signatures (rows-only; xxhash64-based)."""
-    df = _t(spark, sf_dir, "documents").limit(2000)
+    df = (
+        _t(spark, sf_dir, "documents")
+        .limit(2000)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )  # per-bit vote HOFs are CPU-bound; spread the single small file
     return df.select("doc_id", dedup.simhash(F.col("text")).alias("simhash64"))
 
 
@@ -1378,7 +1393,11 @@ def q_embedding_dedup_pairs(spark, sf_dir):
     oracle matches the banded-join + Arrow-cosine-verify pipeline."""
     from ..operators import similarity
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     dup = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
         "vec_id", F.col("vec_id") + 1_000_000
     )
@@ -1404,7 +1423,11 @@ def q_ngram_jaccard(spark, sf_dir):
 
     SQL-expressible in principle but the gram-explode self-join oracle is
     prohibitively slow in DuckDB at sf0.1; pytest verifies vs brute force."""
-    df = _t(spark, sf_dir, "documents").limit(1500)
+    df = (
+        _t(spark, sf_dir, "documents")
+        .limit(1500)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return dedup.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.4)
 
 
