@@ -305,8 +305,16 @@ class Parser:
                     self.next()
                     args.append(self.or_expr())
             self.expect(")")
-            return Call(name.text, args)
-        # path: ident ('.' ident | '[' string ']')*
+            node: object = Call(name.text, args)
+            # postfix subscript on call results: SliceToMap(...)["1"],
+            # SliceToMap(...)[String(x)] (grammar.go converter keys)
+            while self.peek() and self.peek().text == "[":
+                self.next()
+                key = self.or_expr()
+                self.expect("]")
+                node = Call("__getitem__", [node, key])
+            return node
+        # path: ident ('.' ident | '[' string ']' | '[' int ']')*
         parts: list = [name.text]
         while (t := self.peek()) is not None:
             if t.text == ".":
@@ -315,10 +323,13 @@ class Parser:
             elif t.text == "[":
                 self.next()
                 key = self.next()
-                if key.kind != "string":
-                    raise ValueError("only string map keys supported")
+                if key.kind == "string":
+                    parts.append(("key", key.text[1:-1]))
+                elif key.kind == "int":
+                    parts.append(("idx", int(key.text)))  # 0-based slice index
+                else:
+                    raise ValueError("map keys must be strings or slice indices ints")
                 self.expect("]")
-                parts.append(("key", key.text[1:-1]))
             else:
                 break
         return Path(parts)
@@ -369,22 +380,35 @@ class PathResolver:
         if len(parts) == 1 and isinstance(parts[0], str):
             return self.overrides.get(parts[0], parts[0])
         # body.field style
-        flat = "_".join(p if isinstance(p, str) else p[1] for p in parts)
+        flat = "_".join(p if isinstance(p, str) else str(p[1]) for p in parts)
         return self.overrides.get(flat, flat.replace(".", "_"))
 
     def resolve(self, path: Path) -> Column:
+        # trailing [n] slice indices (grammar.go 0-based subscripts) wrap the
+        # resolved prefix in element_at
+        raw = list(path.parts)
+        idx_suffix: list[int] = []
+        while raw and isinstance(raw[-1], tuple) and raw[-1][0] == "idx":
+            idx_suffix.insert(0, raw.pop()[1])
+        path = Path(raw)
         name = self.column_name(path)
         if self.columns is not None and name not in self.columns:
             parts = list(path.parts)
             if parts and parts[0] in ("log", "resource"):
                 parts = parts[1:]
             if self.has_attr_map and parts and parts[0] == "attributes" and len(parts) == 2:
-                return F.element_at(F.col("attributes"), parts[1][1])
+                col = F.element_at(F.col("attributes"), parts[1][1])
+                for i in idx_suffix:
+                    col = F.element_at(col, i + 1)
+                return col
             if parts and parts[0] in ("attributes", "cache"):
                 # missing attribute reads as nil (pcommon.Map.Get miss) —
                 # e.g. Coalesce([attributes["absent"], ...]) must not fail
                 return F.lit(None)
-        return F.col(name)
+        col = F.col(name)
+        for i in idx_suffix:
+            col = F.element_at(col, i + 1)
+        return col
 
 
 # ------------------------------------------------------- converter registry
@@ -517,8 +541,16 @@ def build_registry(error_mode: str = "ignore") -> dict:
         "Keys": F.map_keys,
         "Values": F.map_values,
         "Sort": lambda c, *o: F.array_sort(c) if not o or _as_py(o[0]) == "asc" else F.reverse(F.array_sort(c)),
-        "SliceToMap": lambda arr, keys: F.map_from_arrays(keys, arr),
-        "Index": lambda c, i: F.element_at(c, _as_py(i) + 1),
+        # func_slice_to_map.go: no key_path ⇒ stringified indices as keys;
+        # with key_path the elements are structs/maps keyed by that field
+        # (optionally projected to value_path)
+        "SliceToMap": lambda arr, *paths: _slice_to_map(
+            arr,
+            _as_py(paths[0]) if len(paths) > 0 else None,
+            _as_py(paths[1]) if len(paths) > 1 else None,
+        ),
+        # (Index / Find / Eval / __getitem__ are compiled in Compiler —
+        # they need static type dispatch or lambda binding)
         # encode / misc
         "Base64Encode": lambda c: F.base64(c.cast("binary")),
         "Base64Decode": lambda c: F.unbase64(c).cast("string"),
@@ -622,6 +654,34 @@ _TYPE_PREDICATES = {
     "IsList": ("array",),
     "IsMap": ("map", "struct"),
 }
+
+
+def _slice_to_map(arr: Column, key_path=None, value_path=None) -> Column:
+    """func_slice_to_map.go:46-86 — see registry comment."""
+    if key_path is None:
+        return F.map_from_entries(
+            F.transform(
+                arr,
+                lambda v, i: F.struct(
+                    i.cast("string").alias("key"), v.alias("value")
+                ),
+            )
+        )
+
+    def get(e, path):
+        for seg in path:
+            e = e[seg]
+        return e
+
+    def entry(e):
+        key = get(e, key_path).cast("string")
+        val = get(e, value_path) if value_path else e
+        return F.struct(key.alias("key"), val.alias("value"))
+
+    # elements whose key path is missing are skipped (extractValue error →
+    # reference returns error per element; lenient mode: drop)
+    kept = F.filter(arr, lambda e: get(e, key_path).isNotNull())
+    return F.map_from_entries(F.transform(kept, entry))
 
 
 def _parse_int(c: Column, base: int) -> Column:
@@ -862,7 +922,7 @@ LITERAL_ARG_POSITIONS: dict[str, frozenset[int]] = {
     "TruncateTime": frozenset([1]),
     "ParseKeyValue": frozenset([1, 2]),
     "Sort": frozenset([1]),
-    "Index": frozenset([1]),
+    "SliceToMap": frozenset([1, 2]),
     "ExtractPatterns": frozenset([1]),
     "ExtractGrokPatterns": frozenset([1]),
     "IsInCidr": frozenset([1]),
@@ -915,8 +975,30 @@ class Compiler:
             # at runtime — the flat model's column types are fixed (§1.3)
             if node.name in _TYPE_PREDICATES and len(node.args) == 1:
                 return self._type_predicate(node)
-            if node.name in ("Filter", "MapEach", "All", "Any", "Reduce"):
+            if node.name in ("Filter", "MapEach", "All", "Any", "Reduce", "Find"):
                 return self._lambda_call(node)
+            if node.name == "__getitem__":
+                # postfix subscript on a converter result: map["k"] / arr[0]
+                coll = self._as_col(self.compile_value(node.args[0]))
+                key = self.compile_value(node.args[1])
+                if isinstance(key, int):
+                    return F.element_at(coll, key + 1)  # 0-based slice index
+                return F.element_at(coll, key if isinstance(key, Column) else F.lit(key))
+            if node.name == "Eval":
+                # func_eval.go: apply a lambda to a literal argument list —
+                # compile-time β-reduction
+                lam = node.args[0]
+                args = node.args[1]
+                vals = (
+                    [self._as_col(self.compile_value(a)) for a in args.items]
+                    if isinstance(args, ListNode)
+                    else [F.lit(v) for v in self.compile_value(args)]
+                )
+                if len(lam.formals) != len(vals):
+                    raise ValueError("Eval arity mismatch")
+                return self._with_locals(dict(zip(lam.formals, vals)), lam.body)
+            if node.name == "Index":
+                return self._index_call(node)
             fn = self.registry.get(node.name)
             if fn is None:
                 raise ValueError(f"unsupported OTTL converter {node.name!r}")
@@ -955,6 +1037,52 @@ class Compiler:
             return isinstance(node.value, dict)
         return False
 
+    #: converters whose results are slices (for Index/Find dispatch)
+    _ARRAY_RETURNING = frozenset(
+        ["Split", "Keys", "Values", "MapKeys", "MapValues", "Sort", "MapEach", "Filter"]
+    )
+
+    def _arg_kind(self, node) -> str:
+        """'string' | 'array' | 'map' | 'unknown' — static type of an arg."""
+        if isinstance(node, Path):
+            name = self.resolver.column_name(node)
+            dt = self.resolver.dtypes.get(name, "")
+            if dt.startswith("array"):
+                return "array"
+            if dt.startswith("map"):
+                return "map"
+            if dt == "string":
+                return "string"
+            if not dt and self.resolver.has_attr_map:
+                return "string"  # map<string,string> value
+            return "unknown"
+        if isinstance(node, (ListNode,)):
+            return "array"
+        if isinstance(node, Lit):
+            if isinstance(node.value, list):
+                return "array"
+            if isinstance(node.value, str):
+                return "string"
+            if isinstance(node.value, dict):
+                return "map"
+            return "unknown"
+        if isinstance(node, Call) and node.name in self._ARRAY_RETURNING:
+            return "array"
+        return "unknown"
+
+    def _index_call(self, node: Call) -> Column:
+        """func_index.go: Index(string, substr) → first byte offset;
+        Index(slice, value) → position of the first equal element; -1 when
+        absent. (Element ACCESS is the subscript form ``slice[0]``.)"""
+        target = self._as_col(self.compile_value(node.args[0]))
+        value = self.compile_value(node.args[1])
+        vcol = value if isinstance(value, Column) else F.lit(value)
+        kind = self._arg_kind(node.args[0])
+        if kind == "string" or (kind == "unknown" and isinstance(value, str)):
+            # instr/array_position are both 1-based with 0 = not found
+            return (F.instr(target, vcol) - 1).cast("long")
+        return (F.array_position(target, vcol) - 1).cast("long")
+
     def _lambda_call(self, node: Call) -> Column:
         """Filter / MapEach / All / Any / Reduce with OTTL lambdas
         (func_filter.go, func_map_each.go, func_all.go, func_any.go,
@@ -986,6 +1114,33 @@ class Compiler:
                     {lam.formals[0]: acc, lam.formals[1]: e["key"], lam.formals[2]: e["value"]},
                     lam.body,
                 ),
+            )
+
+        if name == "Find":
+            # func_find.go: first entry matching the predicate — the VALUE by
+            # default, or mapper(key/index, value) when a 3rd lambda is given
+            lam = node.args[1]
+            mapper = node.args[2] if len(node.args) > 2 else None
+            k_name, v_name = lam.formals
+            if is_map:
+                entries = F.map_entries(coll)
+            else:
+                entries = F.transform(
+                    coll,
+                    lambda v, i: F.struct(i.cast("long").alias("key"), v.alias("value")),
+                )
+            matched = F.filter(
+                entries,
+                lambda e: self._with_locals(
+                    {k_name: e["key"], v_name: e["value"]}, lam.body
+                ),
+            )
+            first = F.element_at(matched, 1)
+            if mapper is None:
+                return first["value"]
+            mk, mv = mapper.formals
+            return self._with_locals(
+                {mk: first["key"], mv: first["value"]}, mapper.body
             )
 
         lam = node.args[1]

@@ -228,6 +228,12 @@ def apply_processor(df: DataFrame, name: str, spec: dict) -> DataFrame:
             blocked_key_patterns=spec.get("blocked_key_patterns"),
             summary=spec.get("summary"),
         )
+    if kind == "logstransform":
+        # processor/logstransformprocessor: a stanza operator pipeline run
+        # as a processor — same operator registry as the filelog receiver
+        for op in spec.get("operators", []):
+            df = apply_stanza_operator(df, op)
+        return df
     if kind == "batch":
         return df  # micro-batching is the engine's job (SURVEY §2.5 batch row)
     if kind == "groupbyattrs":

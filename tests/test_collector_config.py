@@ -152,6 +152,31 @@ def test_collector_count_connector(spark, config, log_file):
     assert counts["none"] == 1  # the unparseable line: default_value bucket
 
 
+def test_logstransform_processor(spark, config):
+    """processor/logstransformprocessor: stanza operators as a processor."""
+    cfg = dict(config)
+    cfg["processors"] = {
+        "logstransform": {
+            "operators": [
+                {"type": "add", "field": "attributes.stage", "value": "lt"},
+                {"type": "copy", "from": "attributes.sev", "to": "attributes.sev2"},
+            ]
+        }
+    }
+    cfg["service"] = {
+        "pipelines": {
+            "logs/in": {
+                "receivers": ["filelog"],
+                "processors": ["logstransform"],
+                "exporters": ["file/other"],
+            }
+        }
+    }
+    t = load_collector_config(spark, cfg)
+    r = t.frames["logs/in"].filter("msg = 'boom in auth'").first()
+    assert r.stage == "lt" and r.sev2 == "ERROR"
+
+
 def test_unsupported_component_raises(spark, config):
     cfg = {
         "receivers": {"otlp": {}},

@@ -151,8 +151,14 @@ class TestConverters:
             ),
             ('set(body, String(Coalesce(nil, "fallback")))', ["fallback", "fallback"]),
             (
-                'set(body, Index(Split(attributes["flags"], "|"), 1)) where attributes["flags"] == "A|B|C"',
+                # element ACCESS is the subscript form (grammar.go); Index()
+                # is position-of-value (func_index.go)
+                'set(body, Split(attributes["flags"], "|")[1]) where attributes["flags"] == "A|B|C"',
                 ["B", "operationB"],
+            ),
+            (
+                'set(body, String(Index(Split(attributes["flags"], "|"), "C")))',
+                ["2", "0"],
             ),
             (
                 'set(body, String(UnixSeconds(Time(time_str, "%Y-%m-%dT%H:%M:%SZ"))))',

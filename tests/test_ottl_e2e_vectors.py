@@ -106,6 +106,25 @@ VECTORS = [
     ('set(test, Trim("  pass  "))', "pass"),
     # format legacy varargs with a Column argument
     ('set(test, Format("%s-%03d", http_method, 7))', "get-007"),
+    # func_index.go: position-of-value, -1 when absent (e2e_test.go:1680ff)
+    ('set(test, Index("opentelemetry", "telemetry"))', 4),
+    ('set(test, Index("opentelemetry", "zzz"))', -1),
+    ('set(test, Index(Split(flags, "|"), "B"))', 1),
+    ('set(test, Index(Split(flags, "|"), "Z"))', -1),
+    # subscripts: 0-based element access on paths and call results
+    ('set(test, Split(flags, "|")[2])', "C"),
+    ('set(test, nums[1])', 2),
+    # func_slice_to_map.go: stringified-index keys + subscript chaining
+    ('set(test, SliceToMap(["fail", "pass"])["1"])', "pass"),
+    ('set(test, SliceToMap(Split(flags, "|"))["0"])', "A"),
+    # func_find.go: first match; value by default, mapper optional
+    ('set(test, Find(Split(flags, "|"), (_, v) => v == "B"))', "B"),
+    (
+        'set(test, Find(Split(flags, "|"), (_, v) => v == "C", (i, v) => Concat([String(i), ":", v], "")))',
+        "2:C",
+    ),
+    # func_eval.go: lambda application
+    ('set(test, Eval((value) => ToUpperCase(value), ["pass"]))', "PASS"),
     # func_when.go conditional converter
     ('set(test, When(Len(flags) > 3, "long", "short"))', "long"),
     ('set(test, When(Len(flags) > 9, "long", "short"))', "short"),
@@ -204,6 +223,37 @@ class TestE2EVectors:
         assert run1(df2, 'set(test, ParseSeverity(code, {"info": ["2xx"], "error": ["5xx"]}))') == "info"
         df3 = ctx.withColumn("lvl", F.lit("warning"))
         assert run1(df3, 'set(test, ParseSeverity(lvl, {"warn": ["warning", "warn"]}))') == "warn"
+
+    def test_slice_to_map_key_value_paths(self, spark):
+        """e2e_test.go:1445-1471: SliceToMap(things, [name]) keys by the
+        field; with [value] the entries project to that field."""
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [([("foo", 2), ("bar", 5)],)],
+            "things array<struct<name:string,value:int>>",
+        )
+        keyed = transform_processor(df, ['set(test, SliceToMap(things, ["name"]))']).first()["test"]
+        assert set(keyed.keys()) == {"foo", "bar"} and keyed["bar"]["value"] == 5
+        projected = transform_processor(
+            df, ['set(test, SliceToMap(things, ["name"], ["value"]))']
+        ).first()["test"]
+        assert projected == {"foo": 2, "bar": 5}
+
+    def test_find_on_map(self, spark):
+        """e2e_test.go:1703-1717: Find over a MAP binds (key, value)."""
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [({"foo": "x", "bar": "pass"},)], "m map<string,string>"
+        )
+        got = transform_processor(df, ['set(test, Find(m, (k, _) => k == "bar"))']).first()["test"]
+        assert got == "pass"
+        mapped = transform_processor(
+            df,
+            ['set(test, Find(m, (k, _) => k == "bar", (k, v) => Concat([k, ":", v], "")))'],
+        ).first()["test"]
+        assert mapped == "bar:pass"
 
     def test_xml_roundtrip_benchmark_shape(self, ctx):
         """Benchmark_XML_Functions roundTrip (e2e_test.go:2987-3005):
