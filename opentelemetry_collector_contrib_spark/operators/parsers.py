@@ -454,3 +454,63 @@ def container_parser(df: DataFrame, parse_from: str = "body") -> DataFrame:
             ),
         )
     )
+
+
+# container log file path → k8s metadata
+# (operator/parser/container/parser.go:34 logpathPattern)
+_LOGPATH_RE = (
+    r"^.*[\/\\](?P<namespace>[^_]+)_(?P<pod_name>[^_]+)_"
+    r"(?P<uid>[a-f0-9\-]+)[\/\\](?P<container_name>[^\._]+)[\/\\]"
+    r"(?P<restart_count>\d+)\.log(\.\d{8}-\d{6})?$"
+)
+
+
+def container_logpath_metadata(df: DataFrame, path_col: str = "_input_file") -> DataFrame:
+    """Extract k8s metadata from the kubelet log path layout
+    ``.../<namespace>_<pod>_<uid>/<container>/<restart>.log``
+    (container/parser.go:34 + addMetadataFromFilePath)."""
+    jre = java_regex(_LOGPATH_RE)
+    src = F.col(path_col)
+    matched = src.rlike(jre)
+
+    def grp(i):
+        return F.when(matched, F.regexp_extract(src, jre, i))
+
+    return (
+        df.withColumn("k8s_namespace_name", grp(1))
+        .withColumn("k8s_pod_name", grp(2))
+        .withColumn("k8s_pod_uid", grp(3))
+        .withColumn("k8s_container_name", grp(4))
+        .withColumn("k8s_container_restart_count", grp(5))
+    )
+
+
+def container_recombine_partials(
+    df: DataFrame,
+    source_cols: tuple[str, ...] = ("_input_file", "stream"),
+    order_col: str = "_line_id",
+) -> DataFrame:
+    """Join CRI partial lines (logtag 'P') into the next full line
+    ('F') — the container parser's internal recombine
+    (container/config.go:24: ``is_last_entry: attributes.logtag == 'F'``,
+    combine_with ""). docker-JSON rows (logtag null) pass through whole."""
+    from .transformers import recombine
+
+    key = F.concat_ws("\x00", *[F.col(c) for c in source_cols])
+    df = df.withColumn("_recombine_src", key)
+    out = recombine(
+        df,
+        is_last_entry=F.col("logtag").isNull() | (F.col("logtag") == "F"),
+        source_col="_recombine_src",
+        order_col=order_col,
+        combine_field="log",
+        combine_with="",
+        agg_extra={
+            # constant within a session (the session key concatenates them)
+            **{c: F.first(c) for c in source_cols},
+            "stream": F.first("stream"),
+            "container_format": F.first("container_format"),
+            "container_time": F.max("container_time"),
+        },
+    )
+    return out.drop("_recombine_src")

@@ -99,7 +99,7 @@ def router(
 
 def recombine(
     df: DataFrame,
-    is_first_entry: Column,
+    is_first_entry: Column | None = None,
     source_col: str = "source",
     order_col: str = "doc_id",
     combine_field: str = "body",
@@ -107,13 +107,17 @@ def recombine(
     max_batch_size: int = 1000,
     agg_extra: dict[str, Column] | None = None,
     order_bucket_span: int | None = None,
+    is_last_entry: Column | None = None,
 ) -> DataFrame:
     """``recombine`` — stateful multiline merge, batch form.
 
-    Reference: ``transformer/recombine/config.go:40-62`` (is_first_entry /
-    source_identifier / combine_with, caps). Batch sessionization: a running
-    sum of the is_first flag over (source, order) numbers the sessions, then
-    one groupBy concatenates.
+    Reference: ``transformer/recombine/config.go:40-62`` (is_first_entry OR
+    is_last_entry / source_identifier / combine_with, caps). Batch
+    sessionization: a running sum of the boundary flag over (source, order)
+    numbers the sessions, then one groupBy concatenates. ``is_last_entry``
+    (the container parser's ``logtag == 'F'`` mode) closes the session AT
+    the flagged row: session = inclusive-prefix-sum(flag) − flag, so no
+    cross-row lag is needed and the two-phase prefix sum still applies.
 
     Skew: a single ``Window.partitionBy(source)`` puts one hot source (60%
     of rows in the fixture) on ONE task. ``order_bucket_span`` enables the
@@ -129,7 +133,10 @@ def recombine(
     The streaming form (force_flush_period) lives in streaming/stream.py.
     max_batch_size splits oversize sessions exactly like the reference's cap.
     """
-    df = df.withColumn("_first", is_first_entry.cast("int"))
+    if (is_first_entry is None) == (is_last_entry is None):
+        raise ValueError("recombine needs exactly one of is_first_entry / is_last_entry")
+    flag = is_first_entry if is_first_entry is not None else is_last_entry
+    df = df.withColumn("_first", flag.cast("int"))
     if order_bucket_span:
         df = df.withColumn("_bkt", (F.col(order_col) / order_bucket_span).cast("long"))
         w1 = Window.partitionBy(source_col, "_bkt").orderBy(order_col)
@@ -151,6 +158,10 @@ def recombine(
     else:
         w = Window.partitionBy(source_col).orderBy(order_col)
         df = df.withColumn("_session", F.sum("_first").over(w))
+    if is_last_entry is not None:
+        # close the session AT the flagged row: shift the boundary by the
+        # row's own flag so the 'F' line joins its preceding partials
+        df = df.withColumn("_session", F.col("_session") - F.col("_first"))
     df = df.withColumn(
         "_chunk",
         ((F.row_number().over(Window.partitionBy(source_col, "_session").orderBy(order_col)) - 1)

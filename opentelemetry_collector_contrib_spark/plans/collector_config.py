@@ -146,6 +146,10 @@ def apply_stanza_operator(df: DataFrame, spec: dict) -> DataFrame:
         df = parsers.uri_parser(df, src)
     elif typ == "container":
         df = parsers.container_parser(df, src)
+        if spec.get("recombine_partials", True) and "_line_id" in df.columns:
+            df = parsers.container_recombine_partials(df)
+        if spec.get("add_metadata_from_filepath", True) and "_input_file" in df.columns:
+            df = parsers.container_logpath_metadata(df, "_input_file")
     elif typ == "json_array_parser":
         df = parsers.json_array_parser(df, src, header=spec.get("header"))
     elif typ == "scope_name_parser":
@@ -334,6 +338,31 @@ def load_collector_config(spark: SparkSession, cfg: dict | str) -> TranslatedPip
             df = df.withColumn("_input_file", F.input_file_name()).withColumn(
                 "_line_id", F.monotonically_increasing_id()
             )
+            ml = spec.get("multiline")
+            if ml:
+                # pre-parse multiline split (split.go:35-36): start-pattern
+                # opens an entry, end-pattern closes one — recombine per file
+                from ..operators.transformers import recombine
+
+                kw = {}
+                if ml.get("line_start_pattern"):
+                    kw["is_first_entry"] = F.col("body").rlike(
+                        parsers.java_regex(ml["line_start_pattern"])
+                    )
+                elif ml.get("line_end_pattern"):
+                    kw["is_last_entry"] = F.col("body").rlike(
+                        parsers.java_regex(ml["line_end_pattern"])
+                    )
+                else:
+                    raise ValueError("multiline needs line_start_pattern or line_end_pattern")
+                df = recombine(
+                    df,
+                    source_col="_input_file",
+                    order_col="_line_id",
+                    combine_field="body",
+                    combine_with="\n",
+                    **kw,
+                )
             for op in spec.get("operators", []):
                 df = apply_stanza_operator(df, op)
             return df

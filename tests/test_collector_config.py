@@ -177,6 +177,63 @@ def test_logstransform_processor(spark, config):
     assert r.stage == "lt" and r.sev2 == "ERROR"
 
 
+def test_filelog_multiline_start_pattern(spark, tmp_path):
+    """split.go line_start_pattern: java-stack-trace style grouping."""
+    p = tmp_path / "stack.log"
+    p.write_text(
+        "ERROR boom\n  at a.b.c\n  at d.e.f\nERROR second\n  at x.y.z\n"
+    )
+    cfg = {
+        "receivers": {
+            "filelog": {
+                "include": [str(p)],
+                "multiline": {"line_start_pattern": r"^ERROR"},
+            }
+        },
+        "service": {"pipelines": {"logs": {"receivers": ["filelog"], "exporters": []}}},
+    }
+    t = load_collector_config(spark, cfg)
+    bodies = sorted(r.body for r in t.frames["logs"].collect())
+    assert bodies == [
+        "ERROR boom\n  at a.b.c\n  at d.e.f",
+        "ERROR second\n  at x.y.z",
+    ]
+
+
+def test_container_operator_partials_and_path_metadata(spark, tmp_path):
+    """container parser: CRI partial lines (logtag P) recombine into the F
+    line (config.go:24) and k8s metadata extracts from the kubelet path
+    (parser.go:34)."""
+    d = tmp_path / "default_mypod_11111111-2222-3333-4444-555555555555" / "app"
+    d.mkdir(parents=True)
+    p = d / "0.log"
+    p.write_text(
+        "2024-01-01T00:00:01Z stdout P part-one-\n"
+        "2024-01-01T00:00:02Z stdout P part-two-\n"
+        "2024-01-01T00:00:03Z stdout F done\n"
+        "2024-01-01T00:00:04Z stderr F whole\n"
+    )
+    cfg = {
+        "receivers": {
+            "filelog": {
+                "include": [str(p)],
+                "operators": [{"type": "container"}],
+            }
+        },
+        "service": {"pipelines": {"logs": {"receivers": ["filelog"], "exporters": []}}},
+    }
+    t = load_collector_config(spark, cfg)
+    rows = {r.log: r for r in t.frames["logs"].collect()}
+    assert "part-one-part-two-done" in rows  # combine_with "" joins partials
+    assert rows["part-one-part-two-done"].recombined_n == 3
+    assert rows["whole"].stream == "stderr"
+    meta = rows["whole"]
+    assert meta.k8s_namespace_name == "default"
+    assert meta.k8s_pod_name == "mypod"
+    assert meta.k8s_container_name == "app"
+    assert meta.k8s_container_restart_count == "0"
+
+
 def test_unsupported_component_raises(spark, config):
     cfg = {
         "receivers": {"otlp": {}},
