@@ -41,7 +41,7 @@ TOKEN_RE = re.compile(
   | (?P<float>-?\d+\.\d+)
   | (?P<int>-?\d+)
   | (?P<string>"(?:[^"\\]|\\.)*")
-  | (?P<op>==|!=|<=|>=|=>|<|>|\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|:|,|\.)
+  | (?P<op>==|!=|<=|>=|=>|=|<|>|\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|:|,|\.)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
 """,
     re.VERBOSE,
@@ -85,6 +85,7 @@ class Path:
 class Call:
     name: str
     args: list
+    kwargs: dict = field(default_factory=dict)  # named args (grammar.go)
 
 
 @dataclass
@@ -299,13 +300,29 @@ class Parser:
         if t and t.text == "(":  # function call
             self.next()
             args = []
+            kwargs = {}
+
+            def one_arg():
+                # named argument: ident '=' expr (grammar.go optional args)
+                if (
+                    self.peek()
+                    and self.peek().kind == "ident"
+                    and self.i + 1 < len(self.toks)
+                    and self.toks[self.i + 1].text == "="
+                ):
+                    k = self.next().text
+                    self.next()  # '='
+                    kwargs[k] = self.or_expr()
+                else:
+                    args.append(self.or_expr())
+
             if self.peek() and self.peek().text != ")":
-                args.append(self.or_expr())
+                one_arg()
                 while self.peek() and self.peek().text == ",":
                     self.next()
-                    args.append(self.or_expr())
+                    one_arg()
             self.expect(")")
-            node: object = Call(name.text, args)
+            node: object = Call(name.text, args, kwargs)
             # postfix subscript on call results: SliceToMap(...)["1"],
             # SliceToMap(...)[String(x)] (grammar.go converter keys)
             while self.peek() and self.peek().text == "[":
@@ -482,7 +499,7 @@ def build_registry(error_mode: str = "ignore") -> dict:
         # regex
         "IsMatch": lambda c, pat: c.rlike(_jre(pat)),
         "ExtractPatterns": lambda c, pat: _extract_patterns(c, _as_py(pat)),
-        "ExtractGrokPatterns": lambda c, pat: _extract_grok(c, _as_py(pat)),
+        "ExtractGrokPatterns": lambda c, pat, *named_only: _extract_grok(c, _as_py(pat)),
         # hash / ids
         "MD5": lambda c: F.md5(c.cast("string")),
         "SHA1": lambda c: F.sha1(c.cast("string")),
@@ -528,8 +545,19 @@ def build_registry(error_mode: str = "ignore") -> dict:
         # structured
         # ParseJSON: 1-arg form → flat map<string,string> (the dynamic-body
         # common case); 2-arg form takes a DDL schema for typed extraction.
-        "ParseJSON": lambda c, schema="map<string,string>": F.from_json(c, _as_py(schema) if not isinstance(schema, Column) else "map<string,string>"),
-        "ParseCSV": lambda c, header: F.from_csv(c, ", ".join(f"`{h}` string" for h in _as_py(header).split(","))),
+        # ParseJSON: object → map<string,string>; a literal ARRAY document →
+        # array<string> (the reference returns a pcommon.Slice); 2-arg form
+        # takes a DDL schema for typed extraction.
+        "ParseJSON": lambda c, schema=None: _parse_json(c, schema),
+        # func_parse_csv.go: ParseCSV(target, header, delimiter?,
+        # headerDelimiter?, mode?) — named args supported (grammar.go)
+        "ParseCSV": lambda c, header, delimiter=",", headerDelimiter=",", mode="strict": F.from_csv(
+            c,
+            ", ".join(
+                f"`{h}` string" for h in _as_py(header).split(_as_py(headerDelimiter))
+            ),
+            {"sep": _as_py(delimiter)},
+        ),
         "ParseKeyValue": lambda c, d="=", p=" ": F.str_to_map(c, F.lit(_as_py(p)), F.lit(_as_py(d))),
         "URL": lambda c: F.struct(
             F.parse_url(c, F.lit("PROTOCOL")).alias("scheme"),
@@ -552,7 +580,11 @@ def build_registry(error_mode: str = "ignore") -> dict:
         # (Index / Find / Eval / __getitem__ are compiled in Compiler —
         # they need static type dispatch or lambda binding)
         # encode / misc
-        "Base64Encode": lambda c: F.base64(c.cast("binary")),
+        "Base64Encode": lambda c, *enc: (
+            F.translate(F.base64(c.cast("binary")), "+/", "-_")
+            if enc and _as_py(enc[0]) == "base64-url"
+            else F.base64(c.cast("binary"))
+        ),
         "Base64Decode": lambda c: F.unbase64(c).cast("string"),
         "Log": lambda c: F.log(c),
         "UUID": lambda: F.uuid(),
@@ -654,6 +686,16 @@ _TYPE_PREDICATES = {
     "IsList": ("array",),
     "IsMap": ("map", "struct"),
 }
+
+
+def _parse_json(c, schema=None) -> Column:
+    ddl = None
+    if schema is not None and not isinstance(schema, Column):
+        ddl = _as_py(schema)
+    if isinstance(c, str):  # literal document: detect array vs object
+        ddl = ddl or ("array<string>" if c.lstrip().startswith("[") else "map<string,string>")
+        return F.from_json(F.lit(c), ddl)
+    return F.from_json(c, ddl or "map<string,string>")
 
 
 def _slice_to_map(arr: Column, key_path=None, value_path=None) -> Column:
@@ -929,8 +971,9 @@ LITERAL_ARG_POSITIONS: dict[str, frozenset[int]] = {
     "IsInCIDR": frozenset([1]),
     "ParseSeverity": frozenset([1]),
     "ConvertCase": frozenset([1]),
-    "ParseJSON": frozenset([1]),
-    "ParseCSV": frozenset([1]),
+    "ParseJSON": frozenset([0, 1]),
+    "Base64Encode": frozenset([1]),
+    "ParseCSV": frozenset([1, 2, 3, 4]),
     "ToKeyValueString": frozenset([1, 2, 3]),
     "GetXML": frozenset([1]),
     "CommunityID": frozenset([5]),
@@ -978,12 +1021,60 @@ class Compiler:
             if node.name in ("Filter", "MapEach", "All", "Any", "Reduce", "Find"):
                 return self._lambda_call(node)
             if node.name == "__getitem__":
-                # postfix subscript on a converter result: map["k"] / arr[0]
+                # postfix subscript on a converter result: map["k"] / arr[0];
+                # slice subscripts are 0-based (grammar.go), element_at is
+                # 1-based — dispatch on the collection's static kind
                 coll = self._as_col(self.compile_value(node.args[0]))
                 key = self.compile_value(node.args[1])
-                if isinstance(key, int):
-                    return F.element_at(coll, key + 1)  # 0-based slice index
+                kind = self._arg_kind(node.args[0])
+                if isinstance(key, int) or (
+                    kind == "array" and isinstance(key, Column)
+                ):
+                    kcol = key if isinstance(key, Column) else F.lit(key)
+                    return F.element_at(coll, kcol.cast("int") + 1)
                 return F.element_at(coll, key if isinstance(key, Column) else F.lit(key))
+            if node.name == "Len" and len(node.args) == 1:
+                v = self.compile_value(node.args[0])
+                if not isinstance(v, Column):
+                    return F.lit(len(v))  # literal: fold at compile time
+                kind = self._arg_kind(node.args[0])
+                return F.size(v) if kind in ("array", "map") else F.length(v)
+            if node.name == "String" and len(node.args) == 1:
+                # pdata AsString: containers serialize as compact JSON,
+                # booleans lowercase (ctxutil value stringification)
+                import json as _json
+
+                v = self.compile_value(node.args[0])
+                if not isinstance(v, Column):
+                    if isinstance(v, bool):
+                        return F.lit("true" if v else "false")
+                    if isinstance(v, (list, dict)):
+                        return F.lit(_json.dumps(v, separators=(",", ":")))
+                    return F.lit(str(v))
+                kind = self._arg_kind(node.args[0])
+                return F.to_json(v) if kind in ("array", "map") else v.cast("string")
+            if node.name == "Hex" and len(node.args) == 1:
+                # func_hex.go: pdata-byte formatting — int64 big-endian (16
+                # hex chars), float64 IEEE bits, bool 01/00, string utf8 bytes
+                import struct as _struct
+
+                v = self.compile_value(node.args[0])
+                if not isinstance(v, Column):
+                    if isinstance(v, bool):
+                        return F.lit("01" if v else "00")
+                    if isinstance(v, int):
+                        return F.lit(format(v & ((1 << 64) - 1), "016x"))
+                    if isinstance(v, float):
+                        return F.lit(_struct.pack(">d", v).hex())
+                    if isinstance(v, bytes):
+                        return F.lit(v.hex())
+                    return F.lit(str(v).encode().hex())
+                kind = self.resolver.dtypes.get(
+                    self.resolver.column_name(node.args[0]), ""
+                ) if isinstance(node.args[0], Path) else ""
+                if kind in ("bigint", "int", "smallint", "tinyint", "long"):
+                    return F.lpad(F.lower(F.hex(v)), 16, "0")
+                return F.lower(F.hex(v))  # strings/binary: hex of the bytes
             if node.name == "Eval":
                 # func_eval.go: apply a lambda to a literal argument list —
                 # compile-time β-reduction
@@ -1008,7 +1099,10 @@ class Compiler:
                 a if (i in lit_pos or isinstance(a, Column)) else F.lit(a)
                 for i, a in enumerate(args)
             ]
-            return fn(*conv)
+            # named args (grammar.go optional args) stay python literals —
+            # they are config, not row data
+            kw = {k: self.compile_value(v) for k, v in node.kwargs.items()}
+            return fn(*conv, **kw)
         if isinstance(node, ListNode):
             return [self.compile_value(i) for i in node.items]
         if isinstance(node, BinOp):

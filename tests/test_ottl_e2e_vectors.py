@@ -106,6 +106,35 @@ VECTORS = [
     ('set(test, Trim("  pass  "))', "pass"),
     # format legacy varargs with a Column argument
     ('set(test, Format("%s-%03d", http_method, 7))', "get-007"),
+    # func_hex.go pdata-byte formatting (e2e_test.go Hex cases)
+    ('set(test, Hex(1.0))', "3ff0000000000000"),
+    ('set(test, Hex(12))', "000000000000000c"),
+    ('set(test, Hex(true))', "01"),
+    ('set(test, Hex("12"))', "3132"),
+    # ContainsValue over literal lists (e2e_test.go:…ContainsValue)
+    ('set(test, "pass") where ContainsValue(["hello", "world"], "hello")', "pass"),
+    ('set(test, "pass") where ContainsValue([1, 2, 3, 4], 4)', "pass"),
+    ('set(test, "pass") where ContainsValue([1.1, 2.2, 3.3, 4.4], 4.4)', "pass"),
+    # String of containers/bools: pdata AsString (compact JSON / lowercase)
+    ('set(test, String([1,2,3]))', "[1,2,3]"),
+    ('set(test, String(true))', "true"),
+    ('set(test, String(nums))', "[1,2,3]"),
+    # Len over containers → size; literals fold at compile time
+    ('set(test, Len(["a", "b"]))', 2),
+    ('set(test, Len(nums))', 3),
+    # Base64Encode url-safe variant (func_base64encode.go)
+    ('set(test, Base64Encode("data+values/items", "base64-url"))', "ZGF0YSt2YWx1ZXMvaXRlbXM="),
+    # ParseJSON of an array document → slice (func_parse_json.go)
+    ('set(test, ParseJSON("[\\"value1\\",\\"value2\\"]"))', ["value1", "value2"]),
+    # subscript with a computed index on a call result
+    ('set(test, Split("fail|pass", "|")[Int("1")])', "pass"),
+    # func_community_id.go protocol/seed variants (e2e_test.go:1993-2025)
+    ('set(test, CommunityID("123.124.125.126", 12345, "55.56.57.58", 80, "TCP", 0))', "1:9qr9Z1LViXcNwtLVOHZ3CL8MlyM="),
+    ('set(test, CommunityID("123.124.125.126", 12345, "55.56.57.58", 80, "UDP", 1))', "1:1viZaClxhTkWejXjxmQXaZzI8F4="),
+    ('set(test, CommunityID("123.124.125.126", 12345, "55.56.57.58", 80, "ICMP", 9))', "1:7tb0A6iknoFJCZmtLXkvScm21Ss="),
+    ('set(test, CommunityID("123.124.125.126", 12345, "55.56.57.58", 80, "ICMP6", 10))', "1:D7dVM6HJooFwvHhLnrMrNMw/UR4="),
+    ('set(test, CommunityID("123.124.125.126", 12345, "55.56.57.58", 80, "RSVP", 11))', "1:cEVbY6jymDAKgyIU4UqMu0WQHTI="),
+    ('set(test, CommunityID("123.124.125.126", 12345, "55.56.57.58", 80, "SCTP", 12))', "1:4KOPjy2bsV43uY/mf4HtwyZkwqM="),
     # func_index.go: position-of-value, -1 when absent (e2e_test.go:1680ff)
     ('set(test, Index("opentelemetry", "telemetry"))', 4),
     ('set(test, Index("opentelemetry", "zzz"))', -1),
@@ -223,6 +252,21 @@ class TestE2EVectors:
         assert run1(df2, 'set(test, ParseSeverity(code, {"info": ["2xx"], "error": ["5xx"]}))') == "info"
         df3 = ctx.withColumn("lvl", F.lit("warning"))
         assert run1(df3, 'set(test, ParseSeverity(lvl, {"warn": ["warning", "warn"]}))') == "warn"
+
+    def test_parse_csv_optional_and_named_args(self, ctx):
+        """func_parse_csv.go: ParseCSV(target, header, delimiter?,
+        headerDelimiter?, mode?) — positional and NAMED argument forms
+        (e2e_test.go ParseCSV cases)."""
+        got = run1(
+            ctx,
+            'set(test, ParseCSV("val1;val2;val3","header1|header2|header3",";","|","strict"))',
+        )
+        assert got.asDict() == {"header1": "val1", "header2": "val2", "header3": "val3"}
+        named = run1(
+            ctx,
+            'set(test, ParseCSV("val1,val2,val3","header1|header2|header3",headerDelimiter="|",mode="strict"))',
+        )
+        assert named.asDict() == {"header1": "val1", "header2": "val2", "header3": "val3"}
 
     def test_slice_to_map_key_value_paths(self, spark):
         """e2e_test.go:1445-1471: SliceToMap(things, [name]) keys by the
