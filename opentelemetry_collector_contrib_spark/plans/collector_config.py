@@ -284,7 +284,7 @@ class TranslatedPipelines:
                 out[(pname, ex)] = self.frames[pname]
         return out
 
-    def write(self, out_dir: str) -> dict:
+    def write(self, out_dir: str, mode: str = "overwrite") -> dict:
         """Materialize file-family exporters under out_dir/<exporter>."""
         import os
 
@@ -296,24 +296,30 @@ class TranslatedPipelines:
             dest = os.path.join(out_dir, f"{pname.replace('/', '_')}__{ex.replace('/', '_')}")
             if kind == "file":
                 fmt = (spec.get("format") or "json").replace("proto", "parquet")
-                (df.write.mode("overwrite").format("json" if fmt == "json" else "parquet").save(dest))
+                (df.write.mode(mode).format("json" if fmt == "json" else "parquet").save(dest))
                 written[(pname, ex)] = dest
             elif kind in ("debug", "logging", "nop"):
                 continue
             elif kind == "awss3":
-                df.write.mode("overwrite").parquet(dest)
+                df.write.mode(mode).parquet(dest)
                 written[(pname, ex)] = dest
             else:
                 raise ValueError(f"unsupported exporter {ex!r}")
         return written
 
 
-def load_collector_config(spark: SparkSession, cfg: dict | str) -> TranslatedPipelines:
+def load_collector_config(
+    spark: SparkSession,
+    cfg: dict | str,
+    receiver_frames: dict | None = None,
+) -> TranslatedPipelines:
     """Translate + execute-lazily a collector config document.
 
     ``cfg`` is the parsed YAML dict or a path to the YAML file. Returns the
     per-pipeline terminal DataFrames (lazy — nothing runs until an exporter
-    writes or the caller collects).
+    writes or the caller collects). ``receiver_frames`` substitutes
+    pre-built frames for named receivers (how the STREAMING runner feeds
+    each micro-batch through the same graph).
     """
     if isinstance(cfg, str):
         import yaml
@@ -330,6 +336,11 @@ def load_collector_config(spark: SparkSession, cfg: dict | str) -> TranslatedPip
     def build_receiver(name: str) -> DataFrame:
         kind = name.split("/")[0]
         spec = receivers_cfg[name] or {}
+        if receiver_frames and name in receiver_frames:
+            df = receiver_frames[name]
+            for op in spec.get("operators", []):
+                df = apply_stanza_operator(df, op)
+            return df
         if kind in ("filelog", "file_log"):
             paths = spec.get("include", [])
             df = spark.read.text(list(paths)).withColumnRenamed("value", "body")
@@ -412,6 +423,77 @@ def load_collector_config(spark: SparkSession, cfg: dict | str) -> TranslatedPip
         if not progressed:
             raise ValueError(f"pipeline cycle or unresolved connectors: {sorted(pending)}")
     return TranslatedPipelines(config=cfg, frames=frames)
+
+
+def run_collector_config_streaming(
+    spark: SparkSession,
+    cfg: dict | str,
+    out_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Run a collector config as a Structured Streaming job.
+
+    The filelog receiver becomes a ``readStream`` text source (the poll loop
+    of ``fileconsumer/file.go:114-131`` ⇒ Spark's file-source listing +
+    ``checkpointLocation`` offsets); each micro-batch replays the ENTIRE
+    translated component graph — processors, connectors, exporters — in
+    batch mode via ``foreachBatch``, with file exporters appending. That is
+    exactly the collector's execution shape: per-poll batches flowing
+    through the same static pipeline graph, restartable from the checkpoint.
+
+    One streaming filelog receiver is supported per config (the collector's
+    common shape); multiline/recombine operators need batch sessionization
+    and raise here.
+    """
+    import os
+
+    if isinstance(cfg, str):
+        import yaml
+
+        with open(cfg) as f:
+            cfg = yaml.safe_load(f)
+
+    receivers_cfg = cfg.get("receivers", {})
+    file_receivers = [
+        n for n in receivers_cfg if n.split("/")[0] in ("filelog", "file_log")
+    ]
+    if len(file_receivers) != 1:
+        raise ValueError("streaming mode supports exactly one filelog receiver")
+    name = file_receivers[0]
+    spec = receivers_cfg[name] or {}
+    if spec.get("multiline"):
+        raise ValueError("multiline needs batch sessionization; use batch mode")
+
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    paths = list(spec.get("include", []))
+    # the streaming text source wants a directory/glob, not a literal file:
+    # a single-file include streams its parent dir with a pathGlobFilter
+    # (same matching the poller's Glob does over include patterns)
+    if len(paths) == 1 and os.path.isfile(paths[0]):
+        reader = reader.option("pathGlobFilter", os.path.basename(paths[0]))
+        path = os.path.dirname(paths[0])
+    else:
+        path = paths[0] if len(paths) == 1 else "{" + ",".join(paths) + "}"
+    raw = reader.text(path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        df = (
+            batch_df.withColumnRenamed("value", "body")
+            .withColumn("_input_file", F.input_file_name())
+            .withColumn("_line_id", F.monotonically_increasing_id())
+        )
+        t = load_collector_config(spark, cfg, receiver_frames={name: df})
+        t.write(out_dir, mode="append")
+
+    writer = raw.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", os.path.join(out_dir, "_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def _connector_output(cname, cspec, target_pipeline, pipelines, frames):

@@ -234,6 +234,40 @@ def test_container_operator_partials_and_path_metadata(spark, tmp_path):
     assert meta.k8s_container_restart_count == "0"
 
 
+def test_streaming_collector_config(spark, config, tmp_path):
+    """The same config document runs as a Structured Streaming job: each
+    micro-batch replays the full component graph, exporters append,
+    restart resumes from the checkpoint (no reprocessing)."""
+    import json
+    import os
+
+    from opentelemetry_collector_contrib_spark.plans.collector_config import (
+        run_collector_config_streaming,
+    )
+
+    out = str(tmp_path / "out")
+    q = run_collector_config_streaming(spark, config, out, available_now=True)
+    q.awaitTermination(120)
+    err_dir = os.path.join(out, "logs_errors__file_errors")
+    rows = []
+    for f in os.listdir(err_dir):
+        if f.endswith(".json"):
+            with open(os.path.join(err_dir, f)) as fh:
+                rows += [json.loads(line) for line in fh if line.strip()]
+    assert {r["msg"] for r in rows} == {"boom in auth", "crash in db"}
+    assert all(r["flagged"] == "yes" for r in rows)
+    # restart with the same checkpoint: no new input ⇒ nothing re-emitted
+    n_before = len(rows)
+    q2 = run_collector_config_streaming(spark, config, out, available_now=True)
+    q2.awaitTermination(120)
+    rows2 = 0
+    for f in os.listdir(err_dir):
+        if f.endswith(".json"):
+            with open(os.path.join(err_dir, f)) as fh:
+                rows2 += sum(1 for line in fh if line.strip())
+    assert rows2 == n_before
+
+
 def test_unsupported_component_raises(spark, config):
     cfg = {
         "receivers": {"otlp": {}},
