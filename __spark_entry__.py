@@ -40,7 +40,9 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     return routed.groupBy("route_id", "severity_text").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("total_value_cents"),
     )
 
 
