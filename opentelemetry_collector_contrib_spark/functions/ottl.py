@@ -558,7 +558,8 @@ def build_registry(error_mode: str = "ignore") -> dict:
             ),
             {"sep": _as_py(delimiter)},
         ),
-        "ParseKeyValue": lambda c, d="=", p=" ": F.str_to_map(c, F.lit(_as_py(p)), F.lit(_as_py(d))),
+        # quote-aware via the hybrid keyvalue parser (parseutils.SplitString)
+        "ParseKeyValue": lambda c, d="=", p=" ": _keyvalue_map(c, _as_py(d), _as_py(p)),
         "URL": lambda c: F.struct(
             F.parse_url(c, F.lit("PROTOCOL")).alias("scheme"),
             F.parse_url(c, F.lit("HOST")).alias("host"),
@@ -921,6 +922,12 @@ def _hashes():
     from . import hashes
 
     return hashes
+
+
+def _keyvalue_map(c: Column, d: str, p: str) -> Column:
+    from ..operators.parsers import keyvalue_map_col
+
+    return keyvalue_map_col(c, d, p)
 
 
 def _or_other(extracted: Column) -> Column:

@@ -186,6 +186,76 @@ def csv_parser(
     return _apply_on_error(df, F.col(parse_from).isNotNull() & parsed.isNull(), on_error)
 
 
+def split_quoted(s: str, delim: str) -> list[str] | None:
+    """Port of parseutils.SplitString (parser.go:17-62): split on the
+    delimiter OUTSIDE single/double quotes, strip the quotes, honor
+    backslash escapes; None on an unterminated quote."""
+    result: list[str] = []
+    cur: list[str] = []
+    dlen = len(delim)
+    quote = ""
+    escaped = False
+    i = 0
+    while i < len(s):
+        if not quote and s[i : i + dlen] == delim:
+            if cur:
+                result.append("".join(cur))
+                cur = []
+            i += dlen
+            continue
+        ch = s[i]
+        if not escaped:
+            if not quote and ch in "\"'":
+                quote = ch
+                i += 1
+                continue
+            if ch == quote:
+                quote = ""
+                i += 1
+                continue
+            escaped = ch == "\\"
+        else:
+            escaped = False
+        cur.append(ch)
+        i += 1
+    if quote:
+        return None
+    if cur:
+        result.append("".join(cur))
+    return result
+
+
+def keyvalue_parse_py(s: str, delimiter: str, pair_delimiter: str) -> dict | None:
+    """parseutils.ParseKeyValuePairs (parser.go:65-81): split pairs
+    quote-aware, then each pair on the FIRST delimiter, trimming both."""
+    pairs = split_quoted(s, pair_delimiter)
+    if pairs is None:
+        return None
+    out = {}
+    for p in pairs:
+        kv = p.split(delimiter, 1)
+        if len(kv) != 2:
+            continue
+        out[kv[0].strip()] = kv[1].strip()
+    return out
+
+
+def keyvalue_map_col(src: Column, delimiter: str = "=", pair_delimiter: str = " ") -> Column:
+    """Hybrid k=v parse: rows without quotes/escapes stay on the JVM
+    ``str_to_map`` fast path; quoted rows (parseutils.SplitString semantics:
+    delimiters inside quotes are literal) take an Arrow fallback."""
+    needs_py = src.contains('"') | src.contains("'") | src.contains("\\")
+    fast = F.str_to_map(src, F.lit(pair_delimiter), F.lit(delimiter))
+
+    @F.pandas_udf("map<string,string>")
+    def slow(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else keyvalue_parse_py(v, delimiter, pair_delimiter)
+        )
+
+    return F.when(needs_py, slow(src)).otherwise(fast)
+
+
 def keyvalue_parser(
     df: DataFrame,
     parse_from: str = "body",
@@ -195,11 +265,12 @@ def keyvalue_parser(
 ) -> DataFrame:
     """k=v pairs → map<string,string>.
 
-    Reference: ``pkg/stanza/operator/parser/keyvalue/parser.go:27`` —
-    maps to ``str_to_map`` directly.
+    Reference: ``pkg/stanza/operator/parser/keyvalue/parser.go:27`` over
+    parseutils.SplitString/ParseKeyValuePairs — quote-aware via the hybrid
+    ``keyvalue_map_col`` (JVM ``str_to_map`` for unquoted rows).
     """
     return df.withColumn(
-        out, F.str_to_map(F.col(parse_from), F.lit(pair_delimiter), F.lit(delimiter))
+        out, keyvalue_map_col(F.col(parse_from), delimiter, pair_delimiter)
     )
 
 

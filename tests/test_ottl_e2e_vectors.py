@@ -311,3 +311,21 @@ class TestE2EVectors:
             'set(test, RemoveXML(InsertXML(body, "/Data/To", GetXML(body, "/Data/From/Test")), "/Data/To/Test"))',
         )
         assert got == xml
+
+
+class TestQuotedKeyValue:
+    def test_parse_keyvalue_quoted_value(self, spark):
+        """e2e_test.go ParseKeyValue quoted case: delimiters inside quotes
+        are literal (parseutils.SplitString)."""
+        df = spark.createDataFrame([(1,)], "id int")
+        got = run1(df, 'set(test, ParseKeyValue("k1!v1_k2!\\"v2__!__v2\\"", "!", "_"))')
+        assert got == {"k1": "v1", "k2": "v2__!__v2"}
+
+    def test_split_quoted_unterminated(self):
+        from opentelemetry_collector_contrib_spark.operators.parsers import split_quoted
+
+        assert split_quoted('a "unterminated', " ") is None
+        assert split_quoted('a "b c" d', " ") == ["a", "b c", "d"]
+        # Go's SplitString KEEPS the backslash (it only suppresses quote
+        # handling for the next char, parser.go:45-49)
+        assert split_quoted(r'x\"y', " ") == ['x\\"y']
