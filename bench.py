@@ -89,13 +89,22 @@ def bench_level(master_n: int, runs: int = 3) -> float:
     import subprocess
 
     snippet = _LEVEL_SNIPPET.format(repo=REPO, n=master_n, runs=runs, data=DATA_CACHE)
-    proc = subprocess.run(
-        [sys.executable, "-c", snippet], capture_output=True, text=True, timeout=1800
-    )
-    for line in proc.stdout.splitlines():
-        if line.startswith("BEST"):
-            return float(line.split()[1])
-    raise RuntimeError(f"bench level {master_n} failed: {proc.stderr[-500:]}")
+    last_err = ""
+    for attempt in range(2):  # one retry — a level can stall on host noise
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", snippet],
+                capture_output=True, text=True, timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = "timeout after 900s"
+            log(f"bench level {master_n} attempt {attempt}: {last_err}; retrying")
+            continue
+        for line in proc.stdout.splitlines():
+            if line.startswith("BEST"):
+                return float(line.split()[1])
+        last_err = proc.stderr[-500:]
+    raise RuntimeError(f"bench level {master_n} failed: {last_err}")
 
 
 def main() -> None:
@@ -103,6 +112,29 @@ def main() -> None:
 
     log(f"generating/caching {BENCH_ROWS} token rows at {DATA_CACHE}")
     write_tokens_parquet(DATA_CACHE, BENCH_ROWS, seed=42)
+
+    # --- scaling levels FIRST, while no other JVM exists ------------------
+    # (running them after the 32-core sweep once hung a level subprocess:
+    # the stopped main session's gateway JVM still holds its grown heap and
+    # the machine oversubscribes; fresh-JVM-per-level is only clean when the
+    # levels run alone)
+    scaling: dict = {}
+    if os.environ.get("BENCH_SKIP_SCALING") != "1":
+        n, n4 = SCALING_N, SCALING_N * 4
+        wall_n = bench_level(n)
+        wall_n4 = bench_level(n4)
+        rps_n, rps_n4 = BENCH_ROWS / wall_n, BENCH_ROWS / wall_n4
+        eff = (rps_n4 / rps_n) / 4.0
+        log(
+            f"compute e2e local[{n}]: {wall_n:.1f}s={rps_n:,.0f}r/s; "
+            f"local[{n4}]: {wall_n4:.1f}s={rps_n4:,.0f}r/s; efficiency={eff:.2f}"
+        )
+        scaling = {
+            "scaling_N": n,
+            f"compute_rows_per_sec_{n}cores": round(rps_n, 1),
+            f"compute_rows_per_sec_{n4}cores": round(rps_n4, 1),
+            "scaling_efficiency_N_to_4N": round(eff, 3),
+        }
 
     # --- full-parallelism session: per-query timings + headline pipeline ---
     spark = get_spark(
@@ -138,24 +170,7 @@ def main() -> None:
         "parallelism": CPUS,
     }
 
-    if os.environ.get("BENCH_SKIP_SCALING") != "1":
-        n, n4 = SCALING_N, SCALING_N * 4
-        wall_n = bench_level(n)
-        wall_n4 = bench_level(n4)
-        rps_n, rps_n4 = BENCH_ROWS / wall_n, BENCH_ROWS / wall_n4
-        eff = (rps_n4 / rps_n) / 4.0
-        log(
-            f"compute e2e local[{n}]: {wall_n:.1f}s={rps_n:,.0f}r/s; "
-            f"local[{n4}]: {wall_n4:.1f}s={rps_n4:,.0f}r/s; efficiency={eff:.2f}"
-        )
-        result.update(
-            {
-                "scaling_N": n,
-                f"compute_rows_per_sec_{n}cores": round(rps_n, 1),
-                f"compute_rows_per_sec_{n4}cores": round(rps_n4, 1),
-                "scaling_efficiency_N_to_4N": round(eff, 3),
-            }
-        )
+    result.update(scaling)
 
     print(json.dumps(result))
 

@@ -253,7 +253,10 @@ def keyvalue_map_col(src: Column, delimiter: str = "=", pair_delimiter: str = " 
             lambda v: None if v is None else keyvalue_parse_py(v, delimiter, pair_delimiter)
         )
 
-    return F.when(needs_py, slow(src)).otherwise(fast)
+    # the UDF's INPUT is null-gated: unquoted rows ship a null through Arrow
+    # (cheap) instead of a string the python side would pointlessly parse —
+    # pandas UDFs evaluate unconditionally regardless of the when() branch
+    return F.when(needs_py, slow(F.when(needs_py, src))).otherwise(fast)
 
 
 def keyvalue_parser(
