@@ -143,6 +143,11 @@ def main() -> None:
         app_name="bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    # warm the executor pool + parquet reader so the FIRST query's number is
+    # the query, not session initialization
+    spark.read.parquet(f"{SF_DIR}/events.parquet").limit(10).write.format(
+        "noop"
+    ).mode("overwrite").save()
     query_secs: dict[str, float] = {}
     for name, fn in catalog.QUERIES.items():
         t0 = time.time()
