@@ -481,6 +481,11 @@ def syslog_parser(
                 F.try_to_timestamp(F.col("ts"), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
             ),
         )
+    else:
+        # RFC3164 "Jan _2 15:04:05": space-padded day normalized, year-less
+        # layout anchors to the current year (time_parser SetMissingYear)
+        df = df.withColumn("ts", F.regexp_replace(F.col("ts"), r"(\w{3})  (\d)", r"$1 0$2"))
+        df = time_parser(df, "ts", "timestamp", "%b %d %H:%M:%S")
     return df
 
 

@@ -725,6 +725,48 @@ FROM p
 """
 
 
+
+def q_syslog_rfc3164(spark, sf_dir):
+    """syslog_parser RFC3164 (operator/parser/syslog, config.go:22-23): PRI,
+    BSD timestamp (space-padded day, year-less -> current-year anchor),
+    hostname/appname/pid/message."""
+    pri = F.when(F.col("event_type") == "error", 35).otherwise(165)
+    df = _t(spark, sf_dir, "events").withColumn(
+        "body",
+        F.format_string(
+            "<%s>%s host-%s app%s[%s]: msg %s",
+            pri,
+            F.date_format(F.col("ts"), "MMM d HH:mm:ss"),  # non-padded day
+            (F.col("user_id") % 5).cast("int"),
+            (F.col("event_id") % 3).cast("int"), F.col("user_id"), F.col("event_id"),
+        ),
+    )
+    # single-digit days render "Jan 7" in the fixture; RFC3164 writes "Jan  7"
+    df = df.withColumn(
+        "body", F.regexp_replace("body", r"(\w{3}) (\d) ", r"$1  $2 ")
+    )
+    df = parsers.syslog_parser(df, "body", protocol="rfc3164")
+    return df.select(
+        "event_id", "severity_number", "facility", "hostname", "appname",
+        F.col("pid").cast("bigint").alias("pid"),
+        F.col("message").alias("message"),
+        F.date_format("timestamp", "MM-dd HH:mm:ss").alias("ts_md"),
+    )
+
+
+SQL_SYSLOG_RFC3164 = """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 17 ELSE 10 END AS severity_number,
+       CASE WHEN event_type = 'error' THEN 4 ELSE 20 END AS facility,
+       printf('host-%d', user_id % 5) AS hostname,
+       printf('app%d', event_id % 3) AS appname,
+       user_id AS pid,
+       printf('msg %d', event_id) AS message,
+       strftime(ts, '%m-%d %H:%M:%S') AS ts_md
+FROM events
+"""
+
+
 def q_container_parser(spark, sf_dir):
     """container parser auto-detect (operator/parser/container/parser.go:31-43):
     docker-JSON vs containerd lines in one column."""
@@ -1458,6 +1500,7 @@ QUERIES = {
     "csv_parser": q_csv_parser,
     "uri_parser": q_uri_parser,
     "syslog_rfc5424": q_syslog_rfc5424,
+    "syslog_rfc3164": q_syslog_rfc3164,
     "container_parser": q_container_parser,
     "trace_parser": q_trace_parser,
     "redaction": q_redaction,
@@ -1517,6 +1560,7 @@ ORACLES = {
     "csv_parser": SQL_CSV_PARSER,
     "uri_parser": SQL_URI_PARSER,
     "syslog_rfc5424": SQL_SYSLOG_RFC5424,
+    "syslog_rfc3164": SQL_SYSLOG_RFC3164,
     "container_parser": SQL_CONTAINER_PARSER,
     "trace_parser": SQL_TRACE_PARSER,
     "redaction": SQL_REDACTION,
