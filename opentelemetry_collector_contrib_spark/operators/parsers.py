@@ -167,16 +167,32 @@ def scope_name_parser(
 
 def csv_parser(
     df: DataFrame,
-    header: list[str],
+    header: list[str] | None = None,
     parse_from: str = "body",
     delimiter: str = ",",
     on_error: str = "send",
+    header_attribute: str | None = None,
+    out: str = "attributes",
 ) -> DataFrame:
     """CSV line → columns named by ``header``.
 
-    Reference: ``pkg/stanza/operator/parser/csv/parser.go:78`` (static header
-    list; header-from-attribute variant is split()-based).
+    Reference: ``pkg/stanza/operator/parser/csv/parser.go:78``,
+    ``config.go:41,75-79``. Static ``header`` promotes typed columns via
+    ``from_csv`` (codegen). ``header_attribute`` names a COLUMN carrying the
+    header per row (dynamic) — the result is a map column ``out`` keyed by
+    that row's header tokens (zip of two splits, no Python).
     """
+    if (header is None) == (header_attribute is None):
+        raise ValueError("csv_parser needs exactly one of header / header_attribute")
+    if header_attribute is not None:
+        keys = F.split(F.col(header_attribute), re.escape(delimiter))
+        vals = F.split(F.col(parse_from), re.escape(delimiter))
+        df = df.withColumn(out, F.map_from_arrays(keys, F.slice(vals, 1, F.size(keys))))
+        return _apply_on_error(
+            df,
+            F.col(parse_from).isNotNull() & (F.size(vals) != F.size(keys)),
+            on_error,
+        )
     ddl = ", ".join(f"`{h}` string" for h in header)
     parsed = F.from_csv(F.col(parse_from), ddl, {"sep": delimiter})
     df = df.withColumn("_c", parsed)
@@ -428,13 +444,20 @@ def trace_parser(
 
 
 def uri_parser(df: DataFrame, parse_from: str, prefix: str = "uri_") -> DataFrame:
-    """URL → scheme/host/path/query columns (``operator/parser/uri``)."""
+    """URL → scheme/host/port/path/query columns plus the parsed query-param
+    map (parseutils.ParseURI queryToMap, ``internal/coreinternal/parseutils/
+    uri.go:22-31,86-88``)."""
     src = F.col(parse_from)
+    query = F.parse_url(src, F.lit("QUERY"))
     return (
         df.withColumn(f"{prefix}scheme", F.parse_url(src, F.lit("PROTOCOL")))
         .withColumn(f"{prefix}host", F.parse_url(src, F.lit("HOST")))
         .withColumn(f"{prefix}path", F.parse_url(src, F.lit("PATH")))
-        .withColumn(f"{prefix}query", F.parse_url(src, F.lit("QUERY")))
+        .withColumn(f"{prefix}query", query)
+        .withColumn(
+            f"{prefix}query_params",
+            F.when(query.isNotNull() & (query != ""), F.str_to_map(query, F.lit("&"), F.lit("="))),
+        )
     )
 
 

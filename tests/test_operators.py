@@ -79,6 +79,30 @@ class TestParsers:
         ).first()
         assert hdr.m == {"id": "1", "sev": "debug", "msg": "ok"}
 
+    def test_csv_header_attribute(self, spark):
+        """csv/config.go:41: header carried in a per-row attribute — dynamic
+        headers yield a map keyed by that row's header tokens."""
+        df = spark.createDataFrame(
+            [("1,deb,ok", "id,sev,msg"), ("2,y", "a,b"), ("3,too,many,cols", "k1,k2")],
+            "body string, hdr string",
+        )
+        out = parsers.csv_parser(df, parse_from="body", header_attribute="hdr", out="m")
+        rows = {r.body: r for r in out.collect()}
+        assert rows["1,deb,ok"].m == {"id": "1", "sev": "deb", "msg": "ok"}
+        assert rows["2,y"].m == {"a": "2", "b": "y"}
+        assert rows["3,too,many,cols"]._parse_error is True  # field/header mismatch
+        with pytest.raises(ValueError):
+            parsers.csv_parser(df, header=["a"], header_attribute="hdr")
+
+    def test_uri_query_params_map(self, spark):
+        """parseutils.ParseURI: the query string also parses into a map."""
+        df = spark.createDataFrame(
+            [("https://h/p?uid=7&x=1",), ("https://h/p",)], "url string"
+        )
+        out = {r.url: r for r in parsers.uri_parser(df, "url").collect()}
+        assert out["https://h/p?uid=7&x=1"].uri_query_params == {"uid": "7", "x": "1"}
+        assert out["https://h/p"].uri_query_params is None
+
     def test_scope_name_parser(self, tiny):
         """parser/scope/parser.go:24 — copy field → scope name."""
         out = parsers.scope_name_parser(tiny, "comp")
