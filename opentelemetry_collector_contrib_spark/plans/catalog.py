@@ -479,31 +479,26 @@ FROM s WHERE rn = 1
 # ------------------------------------------------------- training-data dedup
 
 def q_exact_dedup(spark, sf_dir):
-    """Exact dedup: hash-groupBy, keep lowest doc_id per content hash."""
+    """Exact dedup + document fingerprinting in one pass: hash-groupBy on the
+    raw content hash, keep lowest doc_id, carry the fingerprint (md5 over the
+    whitespace-normalized lowered prefix — rolling-hash analog, portable
+    across engines). Fingerprint is a function of text, so grouping by both
+    keys preserves the exact-dedup groups."""
     df = _t(spark, sf_dir, "documents")
+    norm = F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 128)
     return (
-        df.groupBy(F.md5("text").alias("content_hash"))
+        df.groupBy(
+            F.md5("text").alias("content_hash"), F.md5(norm).alias("fingerprint")
+        )
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
 
 
-SQL_EXACT_DEDUP = """
-SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-FROM documents GROUP BY md5(text)
-"""
-
-
-def q_doc_fingerprint(spark, sf_dir):
-    """Document fingerprinting: md5 over the whitespace-normalized lowered
-    prefix (rolling-hash analog, portable across engines)."""
-    df = _t(spark, sf_dir, "documents")
-    norm = F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 128)
-    return df.select("doc_id", F.md5(norm).alias("fingerprint"))
-
-
-SQL_DOC_FINGERPRINT = r"""
-SELECT doc_id, md5(substr(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 128)) AS fingerprint
-FROM documents
+SQL_EXACT_DEDUP = r"""
+SELECT md5(text) AS content_hash,
+       md5(substr(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 128)) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1, 2
 """
 
 
@@ -678,9 +673,17 @@ FROM u
 """
 
 
-def q_syslog_rfc5424(spark, sf_dir):
-    """syslog_parser RFC5424 (operator/parser/syslog/parser.go:115): PRI →
-    severity/facility, header fields, timestamp."""
+def q_syslog_parser(spark, sf_dir):
+    """syslog_parser, BOTH protocols in one two-branch query
+    (operator/parser/syslog/parser.go:115, config.go:22-23):
+
+    - RFC5424: PRI → severity/facility, header fields, ISO timestamp.
+    - RFC3164: PRI, BSD timestamp (space-padded day, year-less →
+      current-year anchor), hostname/appname/pid/message.
+
+    Both branches parse the same events table and union on a normalized
+    schema (proto, ids, severity/facility, header fields, formatted ts)."""
+    # --- RFC5424 branch
     pri = F.when(F.col("event_type") == "error", 11).otherwise(14)
     df = _t(spark, sf_dir, "events").withColumn(
         "body",
@@ -693,14 +696,42 @@ def q_syslog_rfc5424(spark, sf_dir):
         ),
     )
     df = parsers.syslog_parser(df, "body", protocol="rfc5424")
-    return df.select(
+    a = df.select(
+        F.lit("rfc5424").alias("proto"),
         "event_id", "severity_number", "facility", "hostname", "appname",
+        F.lit(None).cast("bigint").alias("pid"),
         F.col("message").alias("message"),
-        F.unix_micros("timestamp").alias("ts_us"),
+        F.unix_micros("timestamp").cast("string").alias("ts_str"),
     )
 
+    # --- RFC3164 branch
+    pri3 = F.when(F.col("event_type") == "error", 35).otherwise(165)
+    df3 = _t(spark, sf_dir, "events").withColumn(
+        "body",
+        F.format_string(
+            "<%s>%s host-%s app%s[%s]: msg %s",
+            pri3,
+            F.date_format(F.col("ts"), "MMM d HH:mm:ss"),  # non-padded day
+            (F.col("user_id") % 5).cast("int"),
+            (F.col("event_id") % 3).cast("int"), F.col("user_id"), F.col("event_id"),
+        ),
+    )
+    # single-digit days render "Jan 7" in the fixture; RFC3164 writes "Jan  7"
+    df3 = df3.withColumn(
+        "body", F.regexp_replace("body", r"(\w{3}) (\d) ", r"$1  $2 ")
+    )
+    df3 = parsers.syslog_parser(df3, "body", protocol="rfc3164")
+    b = df3.select(
+        F.lit("rfc3164").alias("proto"),
+        "event_id", "severity_number", "facility", "hostname", "appname",
+        F.col("pid").cast("bigint").alias("pid"),
+        F.col("message").alias("message"),
+        F.date_format("timestamp", "MM-dd HH:mm:ss").alias("ts_str"),
+    )
+    return a.unionByName(b)
 
-SQL_SYSLOG_RFC5424 = """
+
+SQL_SYSLOG_PARSER = """
 WITH lines AS (
   SELECT event_id,
          printf('<%d>1 %s host-%d app-%s %d ID47 - boom %d',
@@ -715,54 +746,26 @@ WITH lines AS (
                         ['ts','hostname','appname','procid','msgid','structured','message']) AS g
   FROM lines
 )
-SELECT event_id,
+SELECT 'rfc5424' AS proto,
+       event_id,
        CASE pri % 8 WHEN 0 THEN 23 WHEN 1 THEN 22 WHEN 2 THEN 21 WHEN 3 THEN 17
                     WHEN 4 THEN 13 WHEN 5 THEN 10 WHEN 6 THEN 9 WHEN 7 THEN 5 END AS severity_number,
        pri // 8 AS facility,
-       g.hostname AS hostname, g.appname AS appname, g.message AS message,
-       epoch_us(strptime(g.ts, '%Y-%m-%dT%H:%M:%SZ')) AS ts_us
+       g.hostname AS hostname, g.appname AS appname,
+       CAST(NULL AS BIGINT) AS pid,
+       g.message AS message,
+       CAST(epoch_us(strptime(g.ts, '%Y-%m-%dT%H:%M:%SZ')) AS VARCHAR) AS ts_str
 FROM p
-"""
-
-
-
-def q_syslog_rfc3164(spark, sf_dir):
-    """syslog_parser RFC3164 (operator/parser/syslog, config.go:22-23): PRI,
-    BSD timestamp (space-padded day, year-less -> current-year anchor),
-    hostname/appname/pid/message."""
-    pri = F.when(F.col("event_type") == "error", 35).otherwise(165)
-    df = _t(spark, sf_dir, "events").withColumn(
-        "body",
-        F.format_string(
-            "<%s>%s host-%s app%s[%s]: msg %s",
-            pri,
-            F.date_format(F.col("ts"), "MMM d HH:mm:ss"),  # non-padded day
-            (F.col("user_id") % 5).cast("int"),
-            (F.col("event_id") % 3).cast("int"), F.col("user_id"), F.col("event_id"),
-        ),
-    )
-    # single-digit days render "Jan 7" in the fixture; RFC3164 writes "Jan  7"
-    df = df.withColumn(
-        "body", F.regexp_replace("body", r"(\w{3}) (\d) ", r"$1  $2 ")
-    )
-    df = parsers.syslog_parser(df, "body", protocol="rfc3164")
-    return df.select(
-        "event_id", "severity_number", "facility", "hostname", "appname",
-        F.col("pid").cast("bigint").alias("pid"),
-        F.col("message").alias("message"),
-        F.date_format("timestamp", "MM-dd HH:mm:ss").alias("ts_md"),
-    )
-
-
-SQL_SYSLOG_RFC3164 = """
-SELECT event_id,
+UNION ALL
+SELECT 'rfc3164' AS proto,
+       event_id,
        CASE WHEN event_type = 'error' THEN 17 ELSE 10 END AS severity_number,
        CASE WHEN event_type = 'error' THEN 4 ELSE 20 END AS facility,
        printf('host-%d', user_id % 5) AS hostname,
        printf('app%d', event_id % 3) AS appname,
        user_id AS pid,
        printf('msg %d', event_id) AS message,
-       strftime(ts, '%m-%d %H:%M:%S') AS ts_md
+       strftime(ts, '%m-%d %H:%M:%S') AS ts_str
 FROM events
 """
 
@@ -810,39 +813,6 @@ SELECT doc_id,
        octet_length(unhex(md5(CAST(doc_id AS VARCHAR)))) AS id_bytes,
        lower(hex(unhex(md5(CAST(doc_id AS VARCHAR))))) AS roundtrip
 FROM documents
-"""
-
-
-def q_redaction(spark, sf_dir):
-    """redaction processor (processor/redactionprocessor/processor.go:189-233):
-    allowed-key filter + blocked-value masking over an attributes map."""
-    df = _t(spark, sf_dir, "events").withColumn(
-        "attributes",
-        F.create_map(
-            F.lit("user"), F.col("user_id").cast("string"),
-            F.lit("token"), F.concat(F.lit("tok-"), F.col("event_id")),
-            F.lit("note"), F.col("event_type"),
-        ),
-    )
-    df = processors.redaction(
-        df, allowed_keys=["user", "token"], blocked_values=[r"^tok-\d*[02468]$"]
-    )
-    return df.select(
-        "event_id",
-        F.element_at("attributes", "user").alias("user_attr"),
-        F.element_at("attributes", "token").alias("token_attr"),
-        F.element_at("attributes", "note").alias("note_attr"),
-        F.size(F.map_keys("attributes")).alias("n_keys"),
-    )
-
-
-SQL_REDACTION = """
-SELECT event_id,
-       CAST(user_id AS VARCHAR) AS user_attr,
-       CASE WHEN event_id % 2 = 0 THEN '****' ELSE 'tok-' || event_id END AS token_attr,
-       CAST(NULL AS VARCHAR) AS note_attr,
-       2 AS n_keys
-FROM events
 """
 
 
@@ -1028,40 +998,57 @@ FROM events
 
 
 def q_span_metrics(spark, sf_dir):
-    """spanmetrics connector (connector/spanmetricsconnector/config.go:43-141):
-    calls count + explicit-bucket duration histogram per dimension set."""
+    """spanmetrics connector, BOTH histogram modes in one query
+    (connector/spanmetricsconnector/config.go:43-141):
+
+    - explicit buckets: calls count + per-bucket duration counts;
+    - exponential (``histogram.exponential``): OTel base-2 buckets at
+      scale=2 (bucket_idx = ceil(log2(v)*4)-1), summarized per span as
+      bucket count / max index / total so the full expo output is verified.
+
+    Joined on span_name (5 groups — broadcast-sized on both sides)."""
     df = _t(spark, sf_dir, "events").withColumn("span_name", F.col("event_type"))
-    return connectors.span_metrics(
+    explicit = connectors.span_metrics(
         df, ["span_name"], "value", explicit_buckets=[50, 100, 200]
     )
+    expo = (
+        connectors.span_metrics_exponential(df, ["span_name"], "value", scale=2)
+        .groupBy("span_name")
+        .agg(
+            F.count(F.lit(1)).alias("expo_n_buckets"),
+            F.max("bucket_idx").alias("expo_max_idx"),
+            F.sum("bucket_count").alias("expo_total"),
+        )
+    )
+    return explicit.join(expo, "span_name")
 
 
 SQL_SPAN_METRICS = """
-SELECT event_type AS span_name,
+WITH expo AS (
+  SELECT span_name, count(*) AS expo_n_buckets,
+         max(bucket_idx) AS expo_max_idx,
+         CAST(sum(bucket_count) AS BIGINT) AS expo_total
+  FROM (
+    SELECT event_type AS span_name,
+           CAST(ceil(log2(value) * 4) - 1 AS BIGINT) AS bucket_idx,
+           count(*) AS bucket_count
+    FROM events WHERE value > 0
+    GROUP BY 1, 2
+  ) GROUP BY span_name
+)
+SELECT e.span_name AS span_name,
        count(*) AS calls,
        CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS duration_sum_cents,
        CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS le_50,
        CAST(sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS le_100,
        CAST(sum(CASE WHEN value > 100 AND value <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS le_200,
-       CAST(sum(CASE WHEN value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS le_inf
-FROM events GROUP BY event_type
-"""
-
-
-def q_span_metrics_expo(spark, sf_dir):
-    """spanmetrics exponential histogram (config.go ``histogram.exponential``):
-    OTel base-2 buckets at scale=2 — bucket_idx = ceil(log2(v)*4)-1, bigint
-    counts per (span_name, bucket)."""
-    df = _t(spark, sf_dir, "events").withColumn("span_name", F.col("event_type"))
-    return connectors.span_metrics_exponential(df, ["span_name"], "value", scale=2)
-
-
-SQL_SPAN_METRICS_EXPO = """
-SELECT event_type AS span_name,
-       CAST(ceil(log2(value) * 4) - 1 AS BIGINT) AS bucket_idx,
-       count(*) AS bucket_count
-FROM events WHERE value > 0
-GROUP BY 1, 2
+       CAST(sum(CASE WHEN value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS le_inf,
+       any_value(x.expo_n_buckets) AS expo_n_buckets,
+       any_value(x.expo_max_idx) AS expo_max_idx,
+       any_value(x.expo_total) AS expo_total
+FROM (SELECT event_type AS span_name, value FROM events) e
+JOIN expo x ON e.span_name = x.span_name
+GROUP BY e.span_name
 """
 
 
@@ -1094,8 +1081,11 @@ FROM e
 
 
 def q_redaction_summary(spark, sf_dir):
-    """redaction summary attributes (processor.go:416-437, names :584-589):
-    redaction.redacted/masked .keys/.count at summary=debug."""
+    """redaction processor (processor/redactionprocessor/processor.go:189-233):
+    allowed-key filter + blocked-value masking, PLUS the summary attributes
+    (processor.go:416-437, names :584-589) at summary=debug — the redacted
+    map contents and the redaction.redacted/masked .keys/.count bookkeeping
+    verified in one query."""
     df = _t(spark, sf_dir, "events").withColumn(
         "attributes",
         F.create_map(
@@ -1111,6 +1101,9 @@ def q_redaction_summary(spark, sf_dir):
     a = F.col("attributes")
     return df.select(
         "event_id",
+        F.element_at(a, "user").alias("user_attr"),
+        F.element_at(a, "token").alias("token_attr"),
+        F.element_at(a, "note").alias("note_attr"),
         F.element_at(a, "redaction.redacted.keys").alias("red_keys"),
         F.element_at(a, "redaction.redacted.count").alias("red_count"),
         F.element_at(a, "redaction.masked.keys").alias("masked_keys"),
@@ -1120,6 +1113,9 @@ def q_redaction_summary(spark, sf_dir):
 
 SQL_REDACTION_SUMMARY = """
 SELECT event_id,
+       CAST(user_id AS VARCHAR) AS user_attr,
+       CASE WHEN event_id % 2 = 0 THEN '****' ELSE 'tok-' || event_id END AS token_attr,
+       CAST(NULL AS VARCHAR) AS note_attr,
        'note' AS red_keys, '1' AS red_count,
        CASE WHEN event_id % 2 = 0 THEN 'token' END AS masked_keys,
        CASE WHEN event_id % 2 = 0 THEN '1' END AS masked_count
@@ -1127,35 +1123,20 @@ FROM events
 """
 
 
-def q_resource_detection(spark, sf_dir):
-    """resourcedetectionprocessor: driver-side detected resource merged into
-    every row as constant columns (override=false keeps existing values)."""
+def q_attributes_resource_detect(spark, sf_dir):
+    """attributesprocessor extract action (attraction.go:116-144) chained
+    with resourcedetectionprocessor: regex named groups → new attribute
+    columns + convert + upsert, then the driver-side detected resource
+    merged into every row as constant columns (override=false keeps
+    pre-existing values — the event_id%10 rows keep 'pre-set-host')."""
     from ..operators import enrich
 
-    df = _t(spark, sf_dir, "events").withColumn(
-        "host_name", F.when(F.col("event_id") % 10 == 0, "pre-set-host")
-    )
-    df = enrich.resource_detection(
-        df, {"cloud_provider": "aws", "cloud_region": "us-east-1", "host_name": "detected-host"}
-    )
-    return df.groupBy("cloud_provider", "cloud_region", "host_name").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-
-
-SQL_RESOURCE_DETECTION = """
-SELECT 'aws' AS cloud_provider, 'us-east-1' AS cloud_region,
-       CASE WHEN event_id % 10 = 0 THEN 'pre-set-host' ELSE 'detected-host' END AS host_name,
-       count(*) AS n
-FROM events GROUP BY 3
-"""
-
-
-def q_attributes_extract(spark, sf_dir):
-    """attributesprocessor extract action (attraction.go:116-144): regex
-    named groups → new attribute columns, plus convert action."""
-    df = _t(spark, sf_dir, "events").withColumn(
-        "path", F.format_string("/api/%s/%s", F.col("event_type"), F.col("event_id"))
+    df = (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "path", F.format_string("/api/%s/%s", F.col("event_type"), F.col("event_id"))
+        )
+        .withColumn("host_name", F.when(F.col("event_id") % 10 == 0, "pre-set-host"))
     )
     df = processors.attributes_actions(
         df,
@@ -1166,18 +1147,27 @@ def q_attributes_extract(spark, sf_dir):
             {"action": "upsert", "key": "env", "value": "prod"},
         ],
     )
-    return df.select("event_id", "svc", "req_id", "env")
+    df = enrich.resource_detection(
+        df, {"cloud_provider": "aws", "cloud_region": "us-east-1", "host_name": "detected-host"}
+    )
+    return df.select(
+        "event_id", "svc", "req_id", "env",
+        "cloud_provider", "cloud_region", "host_name",
+    )
 
 
-SQL_ATTRIBUTES_EXTRACT = """
-SELECT event_id, event_type AS svc, event_id AS req_id, 'prod' AS env
+SQL_ATTRIBUTES_RESOURCE_DETECT = """
+SELECT event_id, event_type AS svc, event_id AS req_id, 'prod' AS env,
+       'aws' AS cloud_provider, 'us-east-1' AS cloud_region,
+       CASE WHEN event_id % 10 = 0 THEN 'pre-set-host' ELSE 'detected-host' END AS host_name
 FROM events
 """
 
 
 def q_metrics_transform(spark, sf_dir):
-    """metricstransformprocessor: rename + scale + aggregate-across-labels
-    (README operations table) on the events 'metric' stream."""
+    """metricstransformprocessor (rename + aggregate-across-labels, README
+    operations table) AND metricsgenerationprocessor (calculate rule) on the
+    events 'metric' stream, joined per metric_name."""
     from ..operators import metrics
 
     df = (
@@ -1191,42 +1181,36 @@ def q_metrics_transform(spark, sf_dir):
         aggregate_across=["metric_name"],
         agg_type="sum",
     )
-    return out.select(
+    t = out.select(
         "metric_name",
         (F.col("value") * 100).cast("bigint").alias("value_cents"),
         "points_merged",
     )
+
+    # metricsgenerationprocessor calculate rule: utilization = value /
+    # (user_id+1) per point (divide with zero-guard). IEEE754 division is
+    # exactly rounded, so the > 1.0 comparison is engine-portable; the
+    # per-metric over-capacity count verifies every generated point.
+    g = (
+        _t(spark, sf_dir, "events")
+        .withColumn("metric_name", F.concat(F.lit("evt."), F.col("event_type")))
+        .withColumn("capacity", (F.col("user_id") + 1).cast("double"))
+    )
+    g = metrics.metrics_generation(g, "utilization", "value", "capacity", "divide")
+    g = metrics.metrics_transform(g, rename={"evt.error": "evt.failure"})  # rename-only path
+    g2 = g.groupBy("metric_name").agg(
+        F.count(F.when(F.col("utilization") > 1.0, 1)).alias("n_over_capacity")
+    )
+    return t.join(g2, "metric_name")
 
 
 SQL_METRICS_TRANSFORM = """
 SELECT CASE WHEN event_type = 'error' THEN 'evt.failure'
             ELSE 'evt.' || event_type END AS metric_name,
        CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents,
-       count(*) AS points_merged
+       count(*) AS points_merged,
+       count(CASE WHEN value / CAST(user_id + 1 AS DOUBLE) > 1.0 THEN 1 END) AS n_over_capacity
 FROM events GROUP BY 1
-"""
-
-
-def q_metrics_generation(spark, sf_dir):
-    """metricsgenerationprocessor calculate rule: utilization = value /
-    (user_id+1) per point (divide with zero-guard)."""
-    from ..operators import metrics
-
-    df = _t(spark, sf_dir, "events").withColumn(
-        "capacity", (F.col("user_id") + 1).cast("double")
-    )
-    out = metrics.metrics_generation(df, "utilization", "value", "capacity", "divide")
-    # no explicit round(): Spark rounds half-up, DuckDB half-even — ties at
-    # the 6th decimal diverge. IEEE754 division is exactly rounded, so the
-    # raw doubles are bit-identical; the harness's %.6f normalization (same
-    # Python rounding on both sides) compares them safely.
-    return out.select("event_id", "utilization")
-
-
-SQL_METRICS_GENERATION = """
-SELECT event_id,
-       value / CAST(user_id + 1 AS DOUBLE) AS utilization
-FROM events
 """
 
 
@@ -1267,12 +1251,14 @@ SELECT origin, count(*) AS n FROM (
 # ------------------------------------------------------------- text analysis
 
 def q_text_quality(spark, sf_dir):
-    """Quality scoring: token count, punctuation count, alpha ratio."""
+    """Quality scoring + token counting in one pass: whitespace-token count,
+    BPE-ish regex token count, punctuation count, alpha ratio."""
     df = _t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), r"\s+")
     return df.select(
         "doc_id",
-        F.size(words).alias("n_words"),
+        F.size(words).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias("re_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(r"[.,!?;]"), 0)).alias("n_punct"),
         F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).alias("n_alpha"),
         F.length("text").alias("n_chars_seen"),
@@ -1281,7 +1267,8 @@ def q_text_quality(spark, sf_dir):
 
 SQL_TEXT_QUALITY = r"""
 SELECT doc_id,
-       len(string_split_regex(text, '\s+')) AS n_words,
+       len(string_split_regex(text, '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS re_tokens,
        len(regexp_extract_all(text, '[.,!?;]')) AS n_punct,
        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
        length(text) AS n_chars_seen
@@ -1310,24 +1297,6 @@ SELECT lang,
          + len(regexp_extract_all(' ' || lower(text) || ' ', ' of '))) AS BIGINT) AS stopword_hits,
        count(*) AS n_docs
 FROM documents GROUP BY lang
-"""
-
-
-def q_token_count(spark, sf_dir):
-    """Token counting: whitespace tokens + BPE-ish regex tokens per doc."""
-    df = _t(spark, sf_dir, "documents")
-    return df.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), r"\s+")).alias("ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias("re_tokens"),
-    )
-
-
-SQL_TOKEN_COUNT = r"""
-SELECT doc_id,
-       len(string_split_regex(text, '\s+')) AS ws_tokens,
-       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS re_tokens
-FROM documents
 """
 
 
@@ -1499,38 +1468,31 @@ QUERIES = {
     "tail_sampling": q_tail_sampling,
     "csv_parser": q_csv_parser,
     "uri_parser": q_uri_parser,
-    "syslog_rfc5424": q_syslog_rfc5424,
-    "syslog_rfc3164": q_syslog_rfc3164,
+    "syslog_parser": q_syslog_parser,
     "container_parser": q_container_parser,
     "trace_parser": q_trace_parser,
-    "redaction": q_redaction,
     "geoip_enrich": q_geoip_enrich,
     "delta_to_rate": q_delta_to_rate,
     "grok_parser": q_grok_parser,
     "ottl_map_editors": q_ottl_map_editors,
     "ottl_xml": q_ottl_xml,
     "span_metrics": q_span_metrics,
-    "span_metrics_expo": q_span_metrics_expo,
     "metric_start_time": q_metric_start_time,
     "redaction_summary": q_redaction_summary,
-    "resource_detection": q_resource_detection,
-    "attributes_extract": q_attributes_extract,
+    "attributes_resource_detect": q_attributes_resource_detect,
     "metrics_transform": q_metrics_transform,
-    "metrics_generation": q_metrics_generation,
     "load_balancing": q_load_balancing,
     "fan_in_union": q_fan_in_union,
     "exact_dedup": q_exact_dedup,
-    "doc_fingerprint": q_doc_fingerprint,
     "text_quality": q_text_quality,
     "lang_id_stopword": q_lang_id_stopword,
-    "token_count": q_token_count,
     "cosine_topk": q_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_dedup_pairs": q_embedding_dedup_pairs,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "embedding_dedup_pairs": q_embedding_dedup_pairs,
 }
 
 ORACLES = {
@@ -1559,31 +1521,24 @@ ORACLES = {
     "tail_sampling": SQL_TAIL_SAMPLING,
     "csv_parser": SQL_CSV_PARSER,
     "uri_parser": SQL_URI_PARSER,
-    "syslog_rfc5424": SQL_SYSLOG_RFC5424,
-    "syslog_rfc3164": SQL_SYSLOG_RFC3164,
+    "syslog_parser": SQL_SYSLOG_PARSER,
     "container_parser": SQL_CONTAINER_PARSER,
     "trace_parser": SQL_TRACE_PARSER,
-    "redaction": SQL_REDACTION,
     "geoip_enrich": SQL_GEOIP_ENRICH,
     "delta_to_rate": SQL_DELTA_TO_RATE,
     "grok_parser": SQL_GROK_PARSER,
     "ottl_map_editors": SQL_OTTL_MAP_EDITORS,
     "ottl_xml": SQL_OTTL_XML,
     "span_metrics": SQL_SPAN_METRICS,
-    "span_metrics_expo": SQL_SPAN_METRICS_EXPO,
     "metric_start_time": SQL_METRIC_START_TIME,
     "redaction_summary": SQL_REDACTION_SUMMARY,
-    "resource_detection": SQL_RESOURCE_DETECTION,
-    "attributes_extract": SQL_ATTRIBUTES_EXTRACT,
+    "attributes_resource_detect": SQL_ATTRIBUTES_RESOURCE_DETECT,
     "metrics_transform": SQL_METRICS_TRANSFORM,
-    "metrics_generation": SQL_METRICS_GENERATION,
     "load_balancing": SQL_LOAD_BALANCING,
     "fan_in_union": SQL_FAN_IN_UNION,
     "exact_dedup": SQL_EXACT_DEDUP,
-    "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id_stopword": SQL_LANG_ID_STOPWORD,
-    "token_count": SQL_TOKEN_COUNT,
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_dedup_pairs": SQL_EMBEDDING_DEDUP_PAIRS,
