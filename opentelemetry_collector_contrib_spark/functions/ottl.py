@@ -1006,6 +1006,12 @@ class Compiler:
         self.registry = build_registry(error_mode)
         self.error_mode = error_mode
         self._locals: dict[str, Column] = {}  # lambda formal bindings
+        # statement-group guard (transformprocessor `conditions`,
+        # internal/common/logs.go:97-116): OR of the group's conditions,
+        # ANDed into every statement's `where`; the raw ASTs are kept so
+        # fused runs can refuse targets the guard reads
+        self.global_guard: Column | None = None
+        self.global_guard_asts: list = []
 
     def compile_value(self, node) -> Column | object:
         """AST value → Column (or python literal for literal-arg functions)."""
@@ -1338,12 +1344,14 @@ class Compiler:
     # ---- statement application (editors mutate the DataFrame) ----
 
     def apply(self, df: DataFrame, stmt_str: str) -> DataFrame:
+        return self._apply_stmt(df, parse_statement(stmt_str))
+
+    def _apply_stmt(self, df: DataFrame, stmt: Statement) -> DataFrame:
         """Execute one statement: ``Editor(args) where cond`` ⇒ conditional
         column rewrite — exactly ``StatementSequence.Execute`` semantics
         (``parser.go:407-427``): later statements see earlier results."""
-        stmt = parse_statement(stmt_str)
         self.resolver.columns = set(df.columns)
-        cond = self._as_col(self.compile_value(stmt.where)) if stmt.where is not None else None
+        cond = self._stmt_cond(stmt)
         ed = stmt.editor
         name = ed.name
 
@@ -1496,9 +1504,214 @@ class Compiler:
             return guarded(target, F.concat(base, F.array(*vals)))
         raise ValueError(f"unsupported OTTL editor {name!r}")
 
+    # ---- fused map-editor runs -------------------------------------------
+    #
+    # A statement group like
+    #     keep_keys(attributes, [...]) ; truncate_all(attributes, N) ;
+    #     set(attributes["k"], v) where cond
+    # naively compiles to one full map rebuild (map_filter / transform_values
+    # / map_concat) PER STATEMENT — interpreted higher-order functions with
+    # no common-subexpression elimination, so a 10-statement group pays 10
+    # map rebuilds per row (SCALE.md trap #6). Statement-sequence semantics
+    # ("later statements see earlier results", parser.go:407-427) let a run
+    # of consecutive editors over the SAME map column compile to ONE
+    #     map_entries → filter/transform/append… → map_from_entries
+    # chain: order is preserved by nesting, the map is hashed/built once,
+    # and `where` guards fold into per-entry predicates. Only editors whose
+    # effect is per-entry are fused; limit/merge_maps (need whole-map state)
+    # fall back to the per-statement path.
+
+    _FUSIBLE_EDITORS = frozenset({
+        "keep_keys", "keep_matching_keys", "delete_key", "delete_matching_keys",
+        "truncate_all", "replace_all_matches", "replace_all_patterns",
+        "stringify_all",
+    })
+
+    def _ast_refs(self, node, target: str) -> bool:
+        """Does this AST read the column `target`? (A fused run must not
+        evaluate a condition/value against the map it is mid-rewriting.)"""
+        import dataclasses as _dc
+
+        if node is None or isinstance(node, (str, int, float, bool, bytes)):
+            return False
+        if isinstance(node, Path):
+            parts = list(node.parts)
+            if parts and parts[0] in ("log", "resource", "span", "metric", "datapoint"):
+                parts = parts[1:]
+            if parts and isinstance(parts[0], str) and parts[0] == target:
+                return True
+            try:
+                return self.resolver.column_name(node) == target
+            except Exception:
+                return False
+        if _dc.is_dataclass(node):
+            return any(self._ast_refs(getattr(node, f.name), target) for f in _dc.fields(node))
+        if isinstance(node, (list, tuple)):
+            return any(self._ast_refs(x, target) for x in node)
+        if isinstance(node, dict):
+            return any(self._ast_refs(x, target) for x in node.values())
+        return False
+
+    def _map_upsert_key(self, df: DataFrame, ed: Call) -> str | None:
+        """The map key when `ed` is the attributes-map-upsert form of set()
+        (same detection as _apply_stmt), else None."""
+        if ed.name != "set" or len(ed.args) != 2 or not isinstance(ed.args[0], Path):
+            return None
+        parts = list(ed.args[0].parts)
+        if parts and parts[0] in ("log", "resource"):
+            parts = parts[1:]
+        if not (len(parts) == 2 and parts[0] == "attributes" and isinstance(parts[1], tuple)):
+            return None
+        try:
+            target = self.resolver.column_name(ed.args[0])
+        except Exception:
+            return None
+        if target in df.columns:
+            return None
+        if not dict(df.dtypes).get("attributes", "").startswith("map<"):
+            return None
+        return parts[1][1]
+
+    def _fuse_target(self, df: DataFrame, stmt: Statement) -> str | None:
+        """The map column this statement rewrites per-entry, or None if the
+        statement can't join a fused run."""
+        ed = stmt.editor
+        dtypes = dict(df.dtypes)
+        if ed.name in self._FUSIBLE_EDITORS:
+            try:
+                target = self.resolver.column_name(ed.args[0])
+            except Exception:
+                return None
+            if not dtypes.get(target, "").startswith("map<string,string>"):
+                return None
+            config_args = ed.args[1:]
+        elif ed.name == "set":
+            if self._map_upsert_key(df, ed) is None:
+                return None
+            if not dtypes.get("attributes", "").startswith("map<string,string>"):
+                return None
+            target = "attributes"
+            config_args = ed.args[1:]
+        else:
+            return None
+        if self._ast_refs(stmt.where, target):
+            return None
+        if any(self._ast_refs(a, target) for a in config_args):
+            return None
+        if any(self._ast_refs(a, target) for a in self.global_guard_asts):
+            return None
+        return target
+
+    def _fused_entry_step(self, cur: Column, ed: Call, cond: Column | None) -> Column:
+        """One statement applied to the running entries-array expression."""
+
+        def guard_pred(pred):
+            # keep-predicate; a false/null condition skips the statement
+            if cond is None:
+                return pred
+            return lambda e: F.when(cond, pred(e)).otherwise(F.lit(True))
+
+        def value_xform(fn):
+            vf = fn if cond is None else (
+                lambda e: F.when(cond, fn(e)).otherwise(e["value"])
+            )
+            return F.transform(
+                cur, lambda e: F.struct(e["key"].alias("key"), vf(e).alias("value"))
+            )
+
+        name = ed.name
+        if name == "delete_key":
+            key = _as_py(self.compile_value(ed.args[1]))
+            return F.filter(cur, guard_pred(lambda e: e["key"] != key))
+        if name == "delete_matching_keys":
+            pat = _jre(self.compile_value(ed.args[1]))
+            return F.filter(cur, guard_pred(lambda e: ~e["key"].rlike(pat)))
+        if name == "keep_matching_keys":
+            pat = _jre(self.compile_value(ed.args[1]))
+            return F.filter(cur, guard_pred(lambda e: e["key"].rlike(pat)))
+        if name == "keep_keys":
+            keys: list = []
+            for a in ed.args[1:]:
+                v = _as_py(self.compile_value(a))
+                keys.extend(v) if isinstance(v, list) else keys.append(v)
+            arr = F.array(*[F.lit(k) for k in keys])
+            return F.filter(cur, guard_pred(lambda e: F.array_contains(arr, e["key"])))
+        if name == "truncate_all":
+            n = _as_py(self.compile_value(ed.args[1]))
+            return value_xform(lambda e: F.substring(e["value"], 1, n))
+        if name == "stringify_all":
+            return value_xform(lambda e: e["value"].cast("string"))
+        if name == "replace_all_matches":
+            glob = _as_py(self.compile_value(ed.args[1]))
+            repl = self._as_col(self.compile_value(ed.args[2]))
+            pat = "^" + re.escape(glob).replace(r"\*", ".*") + "$"
+            return value_xform(
+                lambda e: F.when(e["value"].rlike(pat), repl).otherwise(e["value"])
+            )
+        if name == "replace_all_patterns":
+            mode = _as_py(self.compile_value(ed.args[1]))
+            pat = _jre_str(_as_py(self.compile_value(ed.args[2])))
+            repl = _as_py(self.compile_value(ed.args[3]))
+            if mode == "value":
+                return value_xform(lambda e: F.regexp_replace(e["value"], pat, repl))
+
+            def new_key(e):
+                nk = F.regexp_replace(e["key"], pat, repl)
+                return nk if cond is None else F.when(cond, nk).otherwise(e["key"])
+
+            return F.transform(
+                cur, lambda e: F.struct(new_key(e).alias("key"), e["value"].alias("value"))
+            )
+        if name == "set":  # attributes-map upsert
+            parts = list(ed.args[0].parts)
+            if parts and parts[0] in ("log", "resource"):
+                parts = parts[1:]
+            key = parts[1][1]
+            value = self._as_col(self.compile_value(ed.args[1])).cast("string")
+            appended = F.concat(
+                F.filter(cur, lambda e: e["key"] != key),
+                F.array(F.struct(F.lit(key).alias("key"), value.alias("value"))),
+            )
+            # CaseWhen evaluates one branch per row, so `cur` appearing in
+            # both arms costs nothing extra
+            return appended if cond is None else F.when(cond, appended).otherwise(cur)
+        raise ValueError(f"editor {name!r} is not fusible")
+
+    def _stmt_cond(self, stmt: Statement) -> Column | None:
+        """The statement's effective guard: `where` ANDed with the statement
+        group's `conditions` guard (when one is set)."""
+        cond = (
+            self._as_col(self.compile_value(stmt.where))
+            if stmt.where is not None
+            else None
+        )
+        if self.global_guard is None:
+            return cond
+        return self.global_guard if cond is None else (self.global_guard & cond)
+
+    def _apply_fused_run(self, df: DataFrame, stmts: list[Statement], target: str) -> DataFrame:
+        self.resolver.columns = set(df.columns)
+        cur = F.map_entries(F.col(target))
+        for stmt in stmts:
+            cur = self._fused_entry_step(cur, stmt.editor, self._stmt_cond(stmt))
+        return df.withColumn(target, F.map_from_entries(cur))
+
     def apply_all(self, df: DataFrame, statements: list[str]) -> DataFrame:
-        for s in statements:
-            df = self.apply(df, s)
+        parsed = [parse_statement(s) for s in statements]
+        i = 0
+        while i < len(parsed):
+            self.resolver.columns = set(df.columns)
+            target = self._fuse_target(df, parsed[i])
+            if target is not None:
+                j = i + 1
+                while j < len(parsed) and self._fuse_target(df, parsed[j]) == target:
+                    j += 1
+                if j - i >= 2:
+                    df = self._apply_fused_run(df, parsed[i:j], target)
+                    i = j
+                    continue
+            df = self._apply_stmt(df, parsed[i])
+            i += 1
         return df
 
 
@@ -1513,12 +1726,25 @@ def transform_processor(
     statements: list[str],
     error_mode: str = "ignore",
     overrides: dict[str, str] | None = None,
+    conditions: list[str] | None = None,
 ) -> DataFrame:
     """transformprocessor analog: ordered OTTL statement group over logs.
+
+    ``conditions`` is the statement group's guard list (logs.go:97-116):
+    the conditions are OR'd and a record must satisfy the disjunction for
+    ANY statement in the group to apply — compiled here as an extra
+    conjunct on every statement's ``where``.
 
     Reference: ``processor/transformprocessor/internal/common/logs.go:32-122``.
     """
     c = Compiler(PathResolver(df, overrides), error_mode)
+    guard = None
+    for s in conditions or []:
+        node = parse_condition(s)
+        c.global_guard_asts.append(node)
+        col = c._as_col(c.compile_value(node))
+        guard = col if guard is None else (guard | col)
+    c.global_guard = guard
     return c.apply_all(df, statements)
 
 

@@ -150,19 +150,20 @@ def redaction(
     info ⇒ redaction.{redacted,masked,allowed,ignored}.count; debug adds the
     sorted .keys lists (ignored has a count only). Counts are string-typed
     here (map<string,string> model). Everything is pure Column math.
+
+    Single-pass plan: one ``map_entries → transform`` computes a per-entry
+    (key, value, category) struct array — every ignored/allowed/blocked
+    regex chain runs exactly once per entry. The output map and all four
+    summary categories are derived from that array. The annotated array is
+    materialized as its own projection column; HOF lambdas are interpreted
+    without common-subexpression elimination, and CollapseProject won't
+    inline a non-cheap expression referenced more than once, so the
+    annotation is computed once per row no matter how many consumers read it.
     """
     col = F.col(attr_col)
 
-    def is_ign(k):
-        if not ignored_keys:
-            return F.lit(False)
-        return F.array_contains(F.array(*[F.lit(x) for x in ignored_keys]), k)
-
-    def is_red(k):
-        if allowed_keys is None:
-            return F.lit(False)
-        allow = F.array(*[F.lit(x) for x in allowed_keys])
-        return ~is_ign(k) & ~F.array_contains(allow, k)
+    # entry categories, in the reference's decision order (processor.go:330-381)
+    IGN, RED, ALLOW, KEYMASK, VALMASK, KEPT = 0, 1, 2, 3, 4, 5
 
     def _any_match(v, pats):
         cond = F.lit(False)
@@ -170,42 +171,62 @@ def redaction(
             cond = cond | v.rlike(p)
         return cond
 
-    def val_allowed(v):
-        return _any_match(v, allowed_values)
-
-    def key_blocked(k):
-        return _any_match(k, blocked_key_patterns)
-
-    def val_blocked(v):
-        return _any_match(v, blocked_values)
-
-    def is_masked(k, v):
+    def category(k, v):
+        if ignored_keys:
+            ign = F.array_contains(F.array(*[F.lit(x) for x in ignored_keys]), k)
+        else:
+            ign = F.lit(False)
+        if allowed_keys is None:
+            red = F.lit(False)
+        else:
+            red = ~F.array_contains(F.array(*[F.lit(x) for x in allowed_keys]), k)
         return (
-            ~is_ign(k) & ~is_red(k) & ~val_allowed(v) & (key_blocked(k) | val_blocked(v))
+            F.when(ign, F.lit(IGN))
+            .when(red, F.lit(RED))
+            .when(_any_match(v, allowed_values), F.lit(ALLOW))
+            .when(_any_match(k, blocked_key_patterns), F.lit(KEYMASK))
+            .when(_any_match(v, blocked_values), F.lit(VALMASK))
+            .otherwise(F.lit(KEPT))
         )
 
-    def new_value(k, v):
-        rep = v
+    ann_col = f"_redann_{attr_col}"
+    ann_expr = F.transform(
+        F.map_entries(col),
+        lambda e: F.struct(
+            e["key"].alias("k"), e["value"].alias("v"),
+            category(e["key"], e["value"]).alias("c"),
+        ),
+    )
+    df = df.withColumn(ann_col, ann_expr)
+    ann = F.col(ann_col)
+
+    def masked_value(s):
+        rep = s["v"]
         for p in blocked_values or []:
             rep = F.regexp_replace(rep, p, mask)
         return (
-            F.when(~is_masked(k, v), v)
-            .when(key_blocked(k), F.lit(mask))
-            .otherwise(rep)
+            F.when(s["c"] == KEYMASK, F.lit(mask))
+            .when(s["c"] == VALMASK, rep)
+            .otherwise(s["v"])
         )
 
-    out_map = F.transform_values(F.map_filter(col, lambda k, v: ~is_red(k)), new_value)
+    out_map = F.map_from_entries(
+        F.transform(
+            F.filter(ann, lambda s: s["c"] != RED),
+            lambda s: F.struct(s["k"].alias("key"), masked_value(s).alias("value")),
+        )
+    )
 
     if summary in ("info", "debug"):
         cats = [
-            ("redaction.redacted", lambda k, v: is_red(k), True),
-            ("redaction.masked", is_masked, True),
-            ("redaction.allowed", lambda k, v: ~is_ign(k) & ~is_red(k) & val_allowed(v), True),
-            ("redaction.ignored", lambda k, v: is_ign(k), False),  # count only
+            ("redaction.redacted", lambda s: s["c"] == RED, True),
+            ("redaction.masked", lambda s: (s["c"] == KEYMASK) | (s["c"] == VALMASK), True),
+            ("redaction.allowed", lambda s: s["c"] == ALLOW, True),
+            ("redaction.ignored", lambda s: s["c"] == IGN, False),  # count only
         ]
         add_entries = []
         for name, pred, with_keys in cats:
-            keys = F.array_sort(F.map_keys(F.map_filter(col, pred)))
+            keys = F.array_sort(F.transform(F.filter(ann, pred), lambda s: s["k"]))
             cnt = F.size(keys)
             if summary == "debug" and with_keys:
                 add_entries.append((F.lit(f"{name}.keys"), F.when(cnt > 0, F.array_join(keys, ","))))
@@ -218,7 +239,7 @@ def redaction(
             lambda k, v: v.isNotNull(),
         )
         out_map = F.map_concat(out_map, addition)
-    return df.withColumn(attr_col, out_map)
+    return df.withColumn(attr_col, out_map).drop(ann_col)
 
 
 def group_by_attrs(df: DataFrame, keys: list[str]) -> DataFrame:

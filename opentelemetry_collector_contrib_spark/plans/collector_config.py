@@ -196,13 +196,27 @@ def apply_processor(df: DataFrame, name: str, spec: dict) -> DataFrame:
     kind = name.split("/")[0]
     spec = spec or {}
     if kind == "transform":
-        stmts: list[str] = []
+        # Each log_statements entry is a GROUP with its own optional
+        # `conditions` guard (OR'd; compiled into every statement's where —
+        # transformprocessor/internal/common/logs.go:97-116) and `context`.
+        # The flat single-table model folds resource/scope/log attributes
+        # into one column namespace, so context only validates here; paths
+        # carry their own log./resource. prefixes.
+        error_mode = spec.get("error_mode", "ignore")
         for group in spec.get("log_statements", []):
             if isinstance(group, dict):
-                stmts.extend(group.get("statements", []))
+                ctx = group.get("context")
+                if ctx not in (None, "log", "resource", "scope"):
+                    raise ValueError(f"unsupported transform context {ctx!r}")
+                df = ottl.transform_processor(
+                    df,
+                    group.get("statements", []),
+                    error_mode,
+                    conditions=group.get("conditions"),
+                )
             else:
-                stmts.append(group)
-        return ottl.transform_processor(df, stmts, spec.get("error_mode", "ignore"))
+                df = ottl.transform_processor(df, [group], error_mode)
+        return df
     if kind == "filter":
         conds = (spec.get("logs") or {}).get("log_record", [])
         return ottl.filter_processor_ottl(df, conds)

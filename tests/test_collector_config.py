@@ -268,6 +268,72 @@ def test_streaming_collector_config(spark, config, tmp_path):
     assert rows2 == n_before
 
 
+def test_transform_group_conditions(spark, config):
+    """Per-group `conditions` guard every statement in the group
+    (transformprocessor/internal/common/logs.go:97-116): conditions are
+    OR'd, and a non-matching record is untouched by the whole group —
+    including statements carrying their own `where` and fused map-editor
+    runs."""
+    cfg = dict(config)
+    cfg["processors"] = {
+        "transform": {
+            "log_statements": [
+                {
+                    "context": "log",
+                    "conditions": ['severity_text == "ERROR"', 'severity_text == "WARN"'],
+                    "statements": [
+                        'set(tagged, "hot")',
+                        'set(also, "warned") where severity_text == "WARN"',
+                    ],
+                },
+                {   # unconditioned group still applies to everything
+                    "context": "log",
+                    "statements": ['set(env, "prod")'],
+                },
+            ]
+        },
+    }
+    cfg["service"] = {
+        "pipelines": {
+            "logs/in": {
+                "receivers": ["filelog"],
+                "processors": ["transform"],
+                "exporters": [],
+            },
+        }
+    }
+    t = load_collector_config(spark, cfg)
+    rows = {r.msg: r for r in t.frames["logs/in"].collect() if r.msg is not None}
+    assert rows["boom in auth"].tagged == "hot"          # ERROR: condition hit
+    assert rows["disk low"].tagged == "hot"              # WARN: second condition
+    assert rows["hello world"].tagged is None            # INFO: group skipped
+    assert rows["disk low"].also == "warned"             # where AND conditions
+    assert rows["boom in auth"].also is None             # where false, cond true
+    assert all(r.env == "prod" for r in rows.values())   # unguarded group
+
+    # fused map-editor run under a group guard: non-matching rows keep the
+    # map untouched (keep_keys/truncate_all skipped wholesale)
+    from pyspark.sql import functions as F
+    from opentelemetry_collector_contrib_spark.functions.ottl import transform_processor
+
+    df = spark.createDataFrame(
+        [("a", "ERROR"), ("b", "INFO")], ["id", "severity_text"]
+    ).withColumn(
+        "attributes",
+        F.create_map(
+            F.lit("keepme"), F.lit("longvalue"), F.lit("dropme"), F.lit("zz")
+        ),
+    )
+    out = transform_processor(
+        df,
+        ['keep_keys(attributes, ["keepme"])', "truncate_all(attributes, 4)"],
+        conditions=['severity_text == "ERROR"'],
+    )
+    got = {r.id: dict(r.attributes) for r in out.collect()}
+    assert got["a"] == {"keepme": "long"}
+    assert got["b"] == {"keepme": "longvalue", "dropme": "zz"}
+
+
 def test_unsupported_component_raises(spark, config):
     cfg = {
         "receivers": {"otlp": {}},
