@@ -457,8 +457,11 @@ def run_collector_config_streaming(
     through the same static pipeline graph, restartable from the checkpoint.
 
     One streaming filelog receiver is supported per config (the collector's
-    common shape); multiline/recombine operators need batch sessionization
-    and raise here.
+    common shape). A ``multiline`` block on the receiver runs as a TRUE
+    stateful streaming recombine (``applyInPandasWithState`` keeps the open
+    entry per file across micro-batches, force-flushing on the 5s
+    processing-time timeout — ``transformer/recombine/config.go:40-62``)
+    upstream of the per-batch component graph.
     """
     import os
 
@@ -476,8 +479,6 @@ def run_collector_config_streaming(
         raise ValueError("streaming mode supports exactly one filelog receiver")
     name = file_receivers[0]
     spec = receivers_cfg[name] or {}
-    if spec.get("multiline"):
-        raise ValueError("multiline needs batch sessionization; use batch mode")
 
     reader = spark.readStream
     if max_files_per_trigger:
@@ -493,16 +494,64 @@ def run_collector_config_streaming(
         path = paths[0] if len(paths) == 1 else "{" + ",".join(paths) + "}"
     raw = reader.text(path)
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        df = (
-            batch_df.withColumnRenamed("value", "body")
-            .withColumn("_input_file", F.input_file_name())
-            .withColumn("_line_id", F.monotonically_increasing_id())
+    ml = spec.get("multiline")
+    if ml:
+        # multiline entries are assembled by the STATEFUL recombine before
+        # the component graph: the open entry per file survives across
+        # micro-batches (and file-append polls) in the group state instead
+        # of being cut at batch boundaries
+        from ..streaming.stream import stateful_recombine_stream
+
+        if not (ml.get("line_start_pattern") or ml.get("line_end_pattern")):
+            raise ValueError("multiline needs line_start_pattern or line_end_pattern")
+        lines = raw.withColumnRenamed("value", "body").withColumn(
+            "_input_file", F.input_file_name()
         )
+
+        def _add_line_ids(batches):
+            # monotonically_increasing_id() is rejected on streaming plans;
+            # same contract by hand: partitionId<<40 + row counter. File
+            # splits enumerate in offset order, so the id is monotone in
+            # line order within each file.
+            import numpy as np
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            base = (ctx.partitionId() if ctx is not None else 0) << 40
+            n = 0
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["_line_id"] = base + np.arange(n, n + len(pdf), dtype="int64")
+                n += len(pdf)
+                yield pdf
+
+        lines = lines.mapInPandas(
+            _add_line_ids, schema="body string, _input_file string, _line_id long"
+        )
+        stream_df = stateful_recombine_stream(
+            lines,
+            source_col="_input_file",
+            order_col="_line_id",
+            body_col="body",
+            first_pattern=ml.get("line_start_pattern"),
+            last_pattern=ml.get("line_end_pattern"),
+        )
+    else:
+        stream_df = raw
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if ml:
+            df = batch_df.drop("recombined_n")
+        else:
+            df = (
+                batch_df.withColumnRenamed("value", "body")
+                .withColumn("_input_file", F.input_file_name())
+                .withColumn("_line_id", F.monotonically_increasing_id())
+            )
         t = load_collector_config(spark, cfg, receiver_frames={name: df})
         t.write(out_dir, mode="append")
 
-    writer = raw.writeStream.foreachBatch(write_batch).option(
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", os.path.join(out_dir, "_checkpoint")
     )
     if available_now:

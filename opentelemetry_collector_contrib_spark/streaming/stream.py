@@ -132,29 +132,31 @@ def streaming_logdedup(
     )
 
 
-def streaming_recombine(
-    spark: SparkSession,
-    input_path: str,
-    out_dir: str,
-    schema: str = "source string, doc_id long, body string",
-    first_marker: str = "START",
+def stateful_recombine_stream(
+    lines: DataFrame,
+    source_col: str = "source",
+    order_col: str = "doc_id",
+    body_col: str = "body",
+    first_pattern: str | None = None,
+    last_pattern: str | None = None,
     combine_with: str = "\n",
     force_flush_ms: int = 5000,
-):
-    """``recombine`` as a CUSTOM STATEFUL streaming operator
+) -> DataFrame:
+    """``recombine`` as a CUSTOM STATEFUL streaming transform
     (``applyInPandasWithState``) — the stretch form from SURVEY §7 step 9.
 
     The reference buffers partial multiline entries per source and flushes
-    when the next first-line arrives, the batch cap hits, or
-    ``force_flush_period`` (default 5s) elapses
+    when the entry closes (next line matching ``first_pattern`` opens a new
+    entry, or a line matching ``last_pattern`` ends the current one), the
+    batch cap hits, or ``force_flush_period`` (default 5s) elapses
     (``transformer/recombine/config.go:40-62``). Here the per-source group
-    state holds the OPEN session (start id + joined partial); each
-    micro-batch appends rows in order, emits every session closed by a new
-    first-line, and a processing-time timeout flushes a session left open
-    across polls — exactly the force-flush semantics.
+    state holds the OPEN session (start order + joined partial); each
+    micro-batch appends rows in order, emits every closed session, and a
+    processing-time timeout flushes a session left open across polls —
+    exactly the force-flush semantics.
 
-    Returns the started query; output rows (source, doc_id, body,
-    recombined_n) append to ``out_dir/recombined``.
+    Returns the streaming DataFrame of combined entries with columns
+    (source_col, order_col, body_col, recombined_n).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -162,11 +164,14 @@ def streaming_recombine(
         ArrayType, LongType, StringType, StructField, StructType,
     )
 
+    if (first_pattern is None) == (last_pattern is None):
+        raise ValueError("exactly one of first_pattern / last_pattern required")
+
     out_schema = StructType(
         [
-            StructField("source", StringType()),
-            StructField("doc_id", LongType()),
-            StructField("body", StringType()),
+            StructField(source_col, StringType()),
+            StructField(order_col, LongType()),
+            StructField(body_col, StringType()),
             StructField("recombined_n", LongType()),
         ]
     )
@@ -186,47 +191,87 @@ def streaming_recombine(
             start_id, parts = state.get
             state.remove()
             yield pd.DataFrame(
-                [{"source": source, "doc_id": start_id, "body": combine_with.join(parts),
-                  "recombined_n": len(parts)}]
+                [{source_col: source, order_col: start_id,
+                  body_col: combine_with.join(parts), "recombined_n": len(parts)}]
             )
             return
         carry = state.get if state.exists else None
         chunks = list(pdf_iter)
-        rows = pd.concat(chunks) if chunks else pd.DataFrame(columns=["doc_id", "body"])
+        rows = pd.concat(chunks) if chunks else pd.DataFrame(columns=[order_col, body_col])
         if len(rows) == 0:
             if carry is not None:
                 state.setTimeoutDuration(force_flush_ms)
             return
-        rows = rows.sort_values("doc_id")
-        # vectorized sessionization: startswith + cumsum assigns a session
-        # index per row (a first-marker row opens a new session); group 0 is
-        # the continuation of the carried-over open session. Python touches
-        # only SESSIONS (the groupby), never individual rows.
-        is_first = rows["body"].astype(str).str.startswith(first_marker).to_numpy()
-        rows = rows.assign(_g=np.cumsum(is_first))
+        rows = rows.sort_values(order_col)
+        # vectorized sessionization: regex match + cumsum assigns a session
+        # index per row (first-mode: a matching row OPENS a session;
+        # last-mode: a matching row CLOSES one, so the group index is the
+        # exclusive prefix count). Group 0 continues the carried-over open
+        # session. Python touches only SESSIONS (the groupby), never rows.
+        bodies = rows[body_col].astype(str)
+        if first_pattern is not None:
+            marks = bodies.str.contains(first_pattern, regex=True).to_numpy()
+            grp = np.cumsum(marks)
+        else:
+            marks = bodies.str.contains(last_pattern, regex=True).to_numpy()
+            grp = np.cumsum(marks) - marks
+        rows = rows.assign(_g=grp)
         sessions = [
-            (int(sub["doc_id"].iloc[0]), list(sub["body"].astype(str)))
+            (int(sub[order_col].iloc[0]), list(sub[body_col].astype(str)))
             for _, sub in rows.groupby("_g", sort=True)
         ]
+        opens_fresh = first_pattern is not None and bool(marks[0])
         if carry is not None:
-            if not is_first[0]:  # batch continues the open session
+            if opens_fresh:  # batch opens fresh — the carried session closes as-is
+                sessions.insert(0, (int(carry[0]), list(carry[1])))
+            else:  # batch continues the open session
                 sid0, bodies0 = sessions[0]
                 sessions[0] = (int(carry[0]), list(carry[1]) + bodies0)
-            else:  # batch opens fresh — the carried session closes as-is
-                sessions.insert(0, (int(carry[0]), list(carry[1])))
-        start_id, parts = sessions[-1]  # last session stays open in state
-        done = sessions[:-1]
-        state.update((start_id, parts))
-        state.setTimeoutDuration(force_flush_ms)
+        if last_pattern is not None and bool(marks[-1]):
+            done, open_session = sessions, None  # final row closed its entry
+        else:
+            done, open_session = sessions[:-1], sessions[-1]
+        if open_session is not None:
+            state.update((open_session[0], open_session[1]))
+            state.setTimeoutDuration(force_flush_ms)
+        elif state.exists:
+            state.remove()
         if done:
             yield pd.DataFrame(
-                [{"source": source, "doc_id": s, "body": combine_with.join(p),
-                  "recombined_n": len(p)} for s, p in done]
+                [{source_col: source, order_col: s,
+                  body_col: combine_with.join(p), "recombined_n": len(p)}
+                 for s, p in done]
             )
 
-    raw = spark.readStream.schema(schema).parquet(input_path)
-    merged = raw.groupBy("source").applyInPandasWithState(
+    return lines.groupBy(source_col).applyInPandasWithState(
         merge, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+
+def streaming_recombine(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    schema: str = "source string, doc_id long, body string",
+    first_marker: str = "START",
+    combine_with: str = "\n",
+    force_flush_ms: int = 5000,
+):
+    """File-to-file wrapper over :func:`stateful_recombine_stream`: rows
+    whose body starts with ``first_marker`` open a new entry; combined
+    entries (source, doc_id, body, recombined_n) append to
+    ``out_dir/recombined``."""
+    import re as _re
+
+    raw = spark.readStream.schema(schema).parquet(input_path)
+    merged = stateful_recombine_stream(
+        raw,
+        source_col="source",
+        order_col="doc_id",
+        body_col="body",
+        first_pattern="^" + _re.escape(first_marker),
+        combine_with=combine_with,
+        force_flush_ms=force_flush_ms,
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

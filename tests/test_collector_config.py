@@ -268,6 +268,71 @@ def test_streaming_collector_config(spark, config, tmp_path):
     assert rows2 == n_before
 
 
+def test_streaming_collector_config_multiline(spark, tmp_path):
+    """A receiver `multiline` block in STREAMING mode: entries are assembled
+    by the stateful recombine (applyInPandasWithState) upstream of the
+    per-batch graph — line_start_pattern opens an entry, continuation lines
+    join it, the trailing open entry force-flushes on the state timeout."""
+    import json
+    import os
+
+    from opentelemetry_collector_contrib_spark.plans.collector_config import (
+        run_collector_config_streaming,
+    )
+
+    log = tmp_path / "ml.log"
+    log.write_text(
+        "\n".join(
+            [
+                "2024-03-01 ERROR boom",
+                "  at frame one",
+                "  at frame two",
+                "2024-03-01 INFO fine",
+                "2024-03-02 ERROR crash",
+                "  at lonely frame",
+            ]
+        )
+        + "\n"
+    )
+    cfg = {
+        "receivers": {
+            "filelog": {
+                "include": [str(log)],
+                "multiline": {"line_start_pattern": r"^\d{4}-\d{2}-\d{2} "},
+                "operators": [
+                    {
+                        "type": "regex_parser",
+                        "regex": r"^(?P<time>\d{4}-\d{2}-\d{2}) (?P<sev>[A-Z]*) (?P<msg>(?s:.*))$",
+                        "severity": {"parse_from": "attributes.sev"},
+                    },
+                ],
+            }
+        },
+        "exporters": {"file/all": {"path": "unused", "format": "json"}},
+        "service": {
+            "pipelines": {
+                "logs/in": {"receivers": ["filelog"], "exporters": ["file/all"]}
+            }
+        },
+    }
+    out = str(tmp_path / "out")
+    q = run_collector_config_streaming(spark, cfg, out, available_now=True)
+    q.awaitTermination(120)
+    rows = []
+    d = os.path.join(out, "logs_in__file_all")
+    for f in os.listdir(d):
+        if f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                rows += [json.loads(line) for line in fh if line.strip()]
+    by_msg = {r["msg"].splitlines()[0]: r for r in rows if r.get("msg")}
+    assert by_msg["boom"]["msg"] == "boom\n  at frame one\n  at frame two"
+    assert by_msg["boom"]["sev"] == "ERROR"
+    assert by_msg["fine"]["msg"] == "fine"
+    # trailing open entry: force-flush timeout emits it before the
+    # availableNow query drains
+    assert by_msg["crash"]["msg"] == "crash\n  at lonely frame"
+
+
 def test_transform_group_conditions(spark, config):
     """Per-group `conditions` guard every statement in the group
     (transformprocessor/internal/common/logs.go:97-116): conditions are
