@@ -8,8 +8,13 @@ stage output (the _SUCCESS-gated directory is the commit point), so a rerun
 sees exactly which inputs were already processed and skips them — idempotent
 restart, at-least-once upgraded to effectively-once for deterministic stages.
 
-Backed by parquet dirs here; the table layout is Iceberg-compatible (swap the
-writer format on a cluster with the Iceberg runtime on the classpath).
+Backed by parquet dirs here; the table layout is Iceberg-compatible and the
+pipeline's dataset writers go through ``sources/table_format.py`` — set
+``SPARK_GRAFT_TABLE_FORMAT=iceberg`` on a cluster with the Iceberg runtime on
+the classpath to switch every sink (gated test: tests/test_table_format.py).
+The lineage records themselves are driver-side JSON commit markers (one per
+(stage, fingerprint), written after the output's _SUCCESS — the ordering is
+the atomicity) and are format-independent.
 """
 
 from __future__ import annotations

@@ -321,22 +321,30 @@ def run_pipeline(
 
     routed_path = os.path.join(out_dir, "routed")
     if write_sinks:
-        routed.write.mode("overwrite").partitionBy("route_id").parquet(routed_path)
+        from ..sources.table_format import read_dataset, write_dataset
+
+        write_dataset(routed, routed_path, partition_by=["route_id"])
         n_total = int(obs.get["rows_total"])
         n_err = int(obs.get["rows_errors"])
-        back = spark.read.parquet(routed_path)  # partition-pruned derived reads
+        back = read_dataset(spark, routed_path)  # partition-pruned derived reads
         # copy route (non-consuming tee): audit rows regardless of move target
-        back.filter((F.col("component") == "auth") & (F.col("route_id") != "_errors")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, "sink_audit"))
+        write_dataset(
+            back.filter((F.col("component") == "auth") & (F.col("route_id") != "_errors")),
+            os.path.join(out_dir, "sink_audit"),
+        )
         clean = back.filter(F.col("route_id") != "_errors")
-        clean.groupBy("route_id", "severity_text").agg(
-            F.count(F.lit(1)).alias("count")
-        ).write.mode("overwrite").parquet(os.path.join(out_dir, "counts"))
-        clean.groupBy(
-            F.window("observed_timestamp", "10 seconds").alias("w"), "source", "severity_number"
-        ).agg(F.count(F.lit(1)).alias("log_count")).drop("w").write.mode("overwrite").parquet(
-            os.path.join(out_dir, "dedup_counts")
+        write_dataset(
+            clean.groupBy("route_id", "severity_text").agg(
+                F.count(F.lit(1)).alias("count")
+            ),
+            os.path.join(out_dir, "counts"),
+        )
+        write_dataset(
+            clean.groupBy(
+                F.window("observed_timestamp", "10 seconds").alias("w"),
+                "source", "severity_number",
+            ).agg(F.count(F.lit(1)).alias("log_count")).drop("w"),
+            os.path.join(out_dir, "dedup_counts"),
         )
     else:
         # sinkless mode: parse→enrich→route→AGGREGATE in one action — the
@@ -400,8 +408,10 @@ def run_pipeline_incremental(spark: SparkSession, input_path: str, out_dir: str)
     routed_path = os.path.join(out_dir, "routed")
     # three actions consume `routed` (sink write, per-file accounting, delta
     # counts) — persist so the decode+parse DAG runs once per poll cycle
+    from ..sources.table_format import write_dataset
+
     routed = routed.persist()
-    routed.write.mode("append").partitionBy("route_id").parquet(routed_path)
+    write_dataset(routed, routed_path, mode="append", partition_by=["route_id"])
 
     # per-file accounting from the just-written rows (column-pruned re-scan of
     # only the new data is not possible post-append, so account pre-write via
@@ -426,12 +436,12 @@ def run_pipeline_incremental(spark: SparkSession, input_path: str, out_dir: str)
         tallies.append((f, rows_in, rows_out))
 
     # delta counts (countconnector per-flush delta sums): APPEND, never merge
-    (
+    write_dataset(
         routed.filter(F.col("route_id") != "_errors")
         .groupBy("route_id", "severity_text")
-        .agg(F.count(F.lit(1)).alias("count"))
-        .write.mode("append")
-        .parquet(os.path.join(out_dir, "counts_delta"))
+        .agg(F.count(F.lit(1)).alias("count")),
+        os.path.join(out_dir, "counts_delta"),
+        mode="append",
     )
     routed.unpersist()
 

@@ -46,6 +46,10 @@ def file_exporter(
         w.json(path)
     elif format == "parquet":
         w.parquet(path)
+    elif format == "iceberg":
+        # table-format switch (sources/table_format.py): needs the Iceberg
+        # Spark runtime on the classpath
+        w.format("iceberg").save(path)
     else:
         raise ValueError(f"unsupported format {format!r}")
 
