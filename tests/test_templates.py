@@ -57,6 +57,68 @@ class TestTemplates:
         assert got["b x <NUM>"] == (1, "b x 3")
 
 
+class TestDrain:
+    """True online Drain (drainprocessor README.md:4-36) vs the masking
+    analog, on a fixture whose variable tokens carry NO digits/hex/IP shape
+    — masking can't collapse them, Drain clusters by token structure."""
+
+    LINES = [
+        "user alice logged in from hostalpha",
+        "user bob logged in from hostbeta",
+        "user carol logged in from hostgamma",
+        "user dave logged in from hostdelta",
+        "session closed for peer east",
+        "session closed for peer west",
+    ]
+
+    def test_tree_clusters_and_generalizes(self):
+        # depth=3 routes on ONE leading token — the fixture's 2nd token is
+        # variable, which deeper routing would (faithfully to the paper)
+        # split into separate leaves
+        from opentelemetry_collector_contrib_spark.operators.templates import DrainTree
+
+        tree = DrainTree(depth=3, st=0.4)
+        clusters = {}
+        for x in self.LINES:
+            c = tree.fit(x)
+            clusters[id(c)] = c
+        tpls = {" ".join(c["tokens"]) for c in clusters.values()}
+        assert tpls == {
+            "user <*> logged in from <*>",
+            "session closed for peer <*>",
+        }
+        assert sum(c["n"] for c in clusters.values()) == len(self.LINES)
+
+    def test_drain_processor_beats_masking(self, spark):
+        from opentelemetry_collector_contrib_spark.operators.templates import (
+            drain_processor,
+        )
+
+        df = spark.createDataFrame([(x,) for x in self.LINES], "body string")
+        # masking analog under-clusters: no digits → every line its own tpl
+        assert mine_templates(df).count() == len(self.LINES)
+        out = drain_processor(df, "body", depth=3)
+        got = {r.body: r.log_record_template for r in out.collect()}
+        assert got["user bob logged in from hostbeta"] == "user <*> logged in from <*>"
+        assert got["session closed for peer east"] == "session closed for peer <*>"
+        # two final clusters, annotation preserves every input row
+        assert out.count() == len(self.LINES)
+        assert out.select("log_record_template").distinct().count() == 2
+
+    def test_cross_partition_merge(self, spark):
+        """Partition-local trees produce local variants; the merge pass
+        unifies them into one template set."""
+        from opentelemetry_collector_contrib_spark.operators.templates import (
+            drain_processor,
+        )
+
+        df = spark.createDataFrame(
+            [(x,) for x in self.LINES * 4], "body string"
+        ).repartition(6)
+        out = drain_processor(df, "body", depth=3)
+        assert out.select("log_record_template").distinct().count() == 2
+
+
 class TestGroupByTrace:
     def test_assembly(self, spans):
         out = {r.trace_id: r for r in group_by_trace(spans, "trace_id", "ts").collect()}
