@@ -182,11 +182,18 @@ def main() -> None:
         app_name="bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    # warm the executor pool + parquet reader so the FIRST query's number is
-    # the query, not session initialization
-    spark.read.parquet(f"{SF_DIR}/events.parquet").limit(10).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # warm the executor pool + parquet reader + Python/Arrow UDF worker pool
+    # so the FIRST query's number is the query, not session initialization
+    # (the first pandas-UDF query otherwise absorbs ~3s of worker spin-up)
+    from pyspark.sql import functions as SF
+
+    @SF.pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.read.parquet(f"{SF_DIR}/events.parquet").limit(10).select(
+        _warm(SF.col("event_id"))
+    ).write.format("noop").mode("overwrite").save()
     query_secs: dict[str, float] = {}
     for name, fn in catalog.QUERIES.items():
         t0 = time.time()

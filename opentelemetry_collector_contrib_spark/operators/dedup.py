@@ -256,35 +256,69 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_grams: int = 200,
-    max_gram_df: int = 500,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs sharing ≥1 gram.
+    """Exact n-gram Jaccard with PREFIX-FILTERED candidate generation
+    (AllPairs/PPJoin family — Bayardo et al., "Scaling Up All Pairs
+    Similarity Search", WWW'07).
 
-    Candidate generation: explode grams → self-join on gram (equi-join) →
-    distinct pairs → exact |A∩B|/|A∪B| via array ops. ``max_grams`` caps the
-    explode fan-out (documented truncation; judge-visible).
+    Grams are globally ordered by (document frequency, gram) ascending;
+    each doc contributes only its PREFIX of ``|g| - ceil(t·|g|) + 1``
+    rarest grams to the candidate self-join. Two docs with Jaccard ≥ t
+    must share a prefix gram (with the length filter
+    ``t·max(|a|,|b|) ≤ min(|a|,|b|)``), so the output is EXACT while
+    ubiquitous grams — the B²/2 quadratic blowup — effectively never
+    reach the join: candidates form on the rarest grams, which have the
+    smallest fan-out. The full gram arrays verify |A∩B|/|A∪B| exactly.
 
-    ``max_gram_df`` caps gram document frequency before the self-join — a
-    universal trigram ("the end of") otherwise contributes B²/2 candidate
-    rows and goes quadratic at scale; a gram shared by more than
-    ``max_gram_df`` docs carries ~zero near-dup signal, so it's dropped from
-    candidate GENERATION only (the exact Jaccard verify still uses every
-    gram). Same guard shape as minhash_lsh_pairs' ``max_bucket_size``.
+    ``max_grams`` caps the explode fan-out (documented truncation).
+    ``max_gram_df`` (optional, default off since prefix filtering removes
+    the need) additionally drops grams shared by more docs from candidate
+    GENERATION only — a lossy backstop for adversarial corpora where even
+    prefixes go hot; the Jaccard verify still uses every gram.
     """
     base = shingle_hash_frame(df, text_col, id_col, n).select(
         "id", F.slice("hs", 1, max_grams).alias("g")
     )
     ex = base.select("id", F.explode("g").alias("gram"))
-    rare = (
-        ex.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_gram_df)
-        .drop("_df")
+    dfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    if max_gram_df is not None:
+        dfreq = dfreq.filter(F.col("_df") <= max_gram_df)
+    ex = ex.join(dfreq, "gram")
+    # per-doc grams in global (df, gram) ascending order; keep the ORIGINAL
+    # gram-set size for the prefix/length math (cap-dropped grams shrink the
+    # candidate surface, never the similarity arithmetic)
+    ordered = (
+        ex.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "gram"))).alias("_sg"))
+        .join(base.select("id", F.size("g").alias("sz")), "id")
+        .withColumn(
+            "_prefix",
+            F.transform(
+                F.slice(
+                    "_sg", 1,
+                    F.greatest(
+                        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1,
+                        F.lit(1),
+                    ),
+                ),
+                lambda s: s["gram"],
+            ),
+        )
     )
-    ex = ex.join(rare, "gram")  # drop hot grams pre-join
+    pex = ordered.select("id", "sz", F.explode("_prefix").alias("gram"))
     cand = (
-        ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        pex.alias("a")
+        .join(
+            pex.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: Jaccard ≥ t needs t·max(|a|,|b|) ≤ min(|a|,|b|)
+            & (
+                F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+                <= F.least(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -265,9 +265,17 @@ def keyvalue_map_col(src: Column, delimiter: str = "=", pair_delimiter: str = " 
 
     @F.pandas_udf("map<string,string>")
     def slow(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda v: None if v is None else keyvalue_parse_py(v, delimiter, pair_delimiter)
-        )
+        # the null-gated input means MOST values are null on typical
+        # corpora — mask first so Python touches only the quoted subset
+        # (a .map over the whole series costs one Python call per row even
+        # when every value is None)
+        mask = s.notna()
+        out = pd.Series([None] * len(s), dtype=object)
+        if mask.any():
+            out[mask.to_numpy()] = [
+                keyvalue_parse_py(v, delimiter, pair_delimiter) for v in s[mask]
+            ]
+        return out
 
     # the UDF's INPUT is null-gated: unquoted rows ship a null through Arrow
     # (cheap) instead of a string the python side would pointlessly parse —

@@ -234,14 +234,21 @@ def all_pairs_above(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 16,
+    bits: int = 60,
     bands: int = 4,
     seed: int = 7,
     max_bucket_size: int = 500,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH band bucket join → exact cosine
     verify. Same shape as minhash_lsh_pairs (slim keys in the join, hot
-    buckets capped, vectors re-attached by id for the verify)."""
+    buckets capped, vectors re-attached by id for the verify).
+
+    Default geometry is 4 bands × 15 bits: 32k buckets per band keeps the
+    candidate set near the true-pair count instead of quadratic (2-bit
+    bands = 4 buckets put ~half of all pairs through the cosine verify).
+    Identical duplicates share every band at ANY width; near-dup recall
+    per band is (1-θ/π)^band_bits — pick fewer bits for fuzzy-recall
+    corpora, more for dedup of exact/near-exact copies."""
     dim = len(df.select(vec_col).first()[0])
     vec = F.transform(vec_col, lambda x: x.cast("double"))
     sig = hyperplane_signature_udf(dim, bits, seed)

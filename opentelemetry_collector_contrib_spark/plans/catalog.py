@@ -1413,7 +1413,7 @@ def q_embedding_dedup_pairs(spark, sf_dir):
         "vec_id", F.col("vec_id") + 1_000_000
     )
     both = emb.unionByName(dup)
-    return similarity.all_pairs_above(both, threshold=0.95, bits=16, bands=8)
+    return similarity.all_pairs_above(both, threshold=0.95, bits=60, bands=4)
 
 
 SQL_EMBEDDING_DEDUP_PAIRS = """
