@@ -75,6 +75,43 @@ def test_ngram_jaccard_exact_values(spark, docs):
         assert abs(r.jaccard - true_j) < 1e-4  # operator rounds to 4 decimals
 
 
+def test_ngram_prefix_filter_is_exact(spark):
+    """Prefix-filtered candidate generation (AllPairs/PPJoin) must return
+    EXACTLY the brute-force pair set at every threshold — completeness is
+    the point of the prefix + length filters, so this pins it on a seeded
+    random corpus with planted near-duplicates and repeated vocabulary."""
+    import itertools
+    import random
+
+    rng = random.Random(421)
+    vocab = [f"w{i}" for i in range(40)]  # small vocab → heavy gram sharing
+    rows = []
+    for i in range(80):
+        words = [rng.choice(vocab) for _ in range(rng.randint(6, 20))]
+        rows.append((i, " ".join(words)))
+        if i % 4 == 0:  # planted near-duplicate: one substitution
+            mutated = list(words)
+            mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(mutated)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    texts = dict(rows)
+
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "text", "doc_id", n=3, threshold=t
+            ).collect()
+        }
+        want = set()
+        for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+            a, b = min(ia, ib), max(ia, ib)
+            j = brute_jaccard(texts[a], texts[b], 3)
+            if j >= t:
+                want.add((a, b))
+        assert got == want, (t, want - got, got - want)
+
+
 def test_simhash_identical_texts_same_hash(spark, docs):
     out = dedup.simhash(F.col("text"))
     rows = docs.select("doc_id", out.alias("h")).collect()

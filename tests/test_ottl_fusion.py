@@ -1,0 +1,114 @@
+"""Fused map-editor runs must be BIT-IDENTICAL to per-statement execution.
+
+The round-3 fusion (Compiler.apply_all collapsing consecutive same-target
+map editors into one map_entries→…→map_from_entries chain) is an
+optimization, not a semantics change — this file pins that: every chain is
+executed through BOTH paths (apply_all = fused, _apply_stmt loop = the
+original per-statement rebuilds) over the same rows and compared
+key-for-key. Chains cover every fusible editor, where-guards, interleaved
+non-fusible statements (which split the run), and group `conditions`.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.functions.ottl import (
+    Compiler,
+    PathResolver,
+    parse_condition,
+    parse_statement,
+)
+
+
+@pytest.fixture(scope="module")
+def maps_df(spark):
+    rows = [
+        (1, 9, {"alpha": "one1", "beta": "two22", "gamma": 'q"x"', "drop_me": "zzz"}),
+        (2, 17, {"alpha": "AA", "delta": "longvaluehere", "k.dotted": "v"}),
+        (3, 5, {}),
+        (4, 17, {"beta": "x", "gamma": "yyyyyyyy", "epsilon": "12345"}),
+        (5, 13, None),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, severity_number int, attributes map<string,string>"
+    )
+
+
+CHAINS = [
+    # every fusible editor, unguarded
+    [
+        'keep_keys(attributes, ["alpha", "beta", "gamma", "epsilon"])',
+        "truncate_all(attributes, 4)",
+        'replace_all_patterns(attributes, "value", "[0-9]+", "N")',
+        "stringify_all(attributes)",
+    ],
+    # where-guards per statement
+    [
+        'delete_key(attributes, "beta") where severity_number >= 17',
+        'delete_matching_keys(attributes, "^g.*") where severity_number < 10',
+        'set(attributes["sev"], "hot") where severity_number >= 13',
+    ],
+    # key-mode pattern rewrite followed by a key-dependent filter (order!)
+    [
+        'replace_all_patterns(attributes, "key", "^al", "AL")',
+        'keep_matching_keys(attributes, "^(AL|be)")',
+    ],
+    # glob value replace + upsert + truncate chain
+    [
+        'replace_all_matches(attributes, "two*", "TWO")',
+        'set(attributes["mark"], "m1")',
+        "truncate_all(attributes, 3)",
+        'set(attributes["mark"], "m2") where severity_number == 9',
+    ],
+    # non-fusible statement interleaved: the run must split and still match
+    [
+        'set(attributes["a"], "1")',
+        "limit(attributes, 2)",
+        'set(attributes["z"], "9")',
+        'delete_key(attributes, "a")',
+    ],
+]
+
+
+def _run(df, statements, fused: bool, conditions=None):
+    c = Compiler(PathResolver(df))
+    guard = None
+    for s in conditions or []:
+        node = parse_condition(s)
+        c.global_guard_asts.append(node)
+        col = c._as_col(c.compile_value(node))
+        guard = col if guard is None else (guard | col)
+    c.global_guard = guard
+    if fused:
+        out = c.apply_all(df, statements)
+    else:
+        out = df
+        for s in statements:
+            out = c._apply_stmt(out, parse_statement(s))
+    return {
+        r.id: (dict(r.attributes) if r.attributes is not None else None)
+        for r in out.select("id", "attributes").collect()
+    }
+
+
+@pytest.mark.parametrize("chain_idx", range(len(CHAINS)))
+def test_fused_equals_per_statement(spark, maps_df, chain_idx):
+    chain = CHAINS[chain_idx]
+    assert _run(maps_df, chain, fused=True) == _run(maps_df, chain, fused=False)
+
+
+def test_fused_equals_per_statement_with_group_conditions(spark, maps_df):
+    conds = ["severity_number >= 13"]
+    for chain in CHAINS:
+        assert _run(maps_df, chain, fused=True, conditions=conds) == _run(
+            maps_df, chain, fused=False, conditions=conds
+        )
+
+
+def test_fusion_actually_engages(spark, maps_df):
+    """Guard the guard: the first chain compiles through the fused path
+    (single projection containing map_from_entries, no map_concat chain)."""
+    c = Compiler(PathResolver(maps_df))
+    out = c.apply_all(maps_df, CHAINS[0])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "map_from_entries" in plan
