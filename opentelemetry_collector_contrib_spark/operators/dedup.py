@@ -332,3 +332,60 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def benchmark_contamination(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_overlap: float = 0.5,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Training-set decontamination: per-doc fraction of word n-grams that
+    appear ANYWHERE in a benchmark/eval corpus (the published n-gram-overlap
+    method — e.g. GPT-3's 13-gram filtering, Brown et al. 2020 appendix C).
+
+    Returns (id_col, n_grams, n_hit, overlap, contaminated) for every
+    training doc; filter on ``contaminated`` to drop, or keep the overlap
+    score for audit. Gram comparison uses the same 64-bit shingle hashes as
+    the dedup family (no gram strings materialize).
+
+    Scale shape: the benchmark gram set is DISTINCT hashes only (8 bytes per
+    unique gram — a 100k-doc eval suite is a few MB) and broadcasts, so the
+    100 TB training side does one narrow explode + broadcast-hash semi-join +
+    per-doc count: no shuffle carries text, and the only wide exchange is
+    the per-doc hit aggregation keyed by doc id. Set
+    ``broadcast_bench=False`` to fall back to a shuffle join when the
+    benchmark side is itself huge.
+    """
+    bench = bench_df.select(
+        F.monotonically_increasing_id().alias("_bid"),
+        F.col(bench_text_col or text_col).alias("_btext"),
+    )
+    bench_grams = (
+        shingle_hash_frame(bench, "_btext", "_bid", n)
+        .select(F.explode("hs").alias("gram"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    train_g = shingle_hash_frame(train_df, text_col, id_col, n)
+    hits = (
+        train_g.select("id", F.explode("hs").alias("gram"))
+        .join(bench_grams, "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        train_g.select("id", F.size("hs").alias("n_grams"))
+        .join(hits, "id", "left")
+        .fillna(0, ["n_hit"])
+        .withColumn(
+            "overlap", F.col("n_hit") / F.greatest(F.col("n_grams"), F.lit(1))
+        )
+        .withColumn("contaminated", F.col("overlap") >= min_overlap)
+        .withColumnRenamed("id", id_col)
+    )

@@ -75,6 +75,42 @@ def test_ngram_jaccard_exact_values(spark, docs):
         assert abs(r.jaccard - true_j) < 1e-4  # operator rounds to 4 decimals
 
 
+def test_benchmark_contamination(spark):
+    """Decontamination (published n-gram-overlap method): a training doc
+    copying a benchmark passage verbatim is flagged; clean docs score 0;
+    partially-overlapping docs get the exact overlap fraction."""
+    bench = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+        ],
+        "bid long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # verbatim copy of benchmark passage → fully contaminated
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            # clean: disjoint vocabulary
+            (11, "completely unrelated sentence about spark physical plans here"),
+            # half-copied: first 10 words benchmark, then clean tail
+            (12, "the quick brown fox jumps over the lazy dog tonight plus an original unrelated tail of words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.benchmark_contamination(
+            train, bench, n=5, min_overlap=0.5
+        ).collect()
+    }
+    assert out[10].overlap == 1.0 and out[10].contaminated
+    assert out[11].n_hit == 0 and not out[11].contaminated
+    # doc 12: 17 words → 13 distinct 5-grams; the 6 grams fully inside the
+    # copied 10-word prefix hit the benchmark set
+    assert out[12].n_grams == 13 and out[12].n_hit == 6
+    assert abs(out[12].overlap - 6 / 13) < 1e-9 and not out[12].contaminated
+
+
 def test_ngram_prefix_filter_is_exact(spark):
     """Prefix-filtered candidate generation (AllPairs/PPJoin) must return
     EXACTLY the brute-force pair set at every threshold — completeness is
