@@ -389,3 +389,102 @@ def benchmark_contamination(
         .withColumn("contaminated", F.col("overlap") >= min_overlap)
         .withColumnRenamed("id", id_col)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_line_df: int = 1,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Line/paragraph-level dedup (boilerplate removal): drop every line that
+    occurs in MORE than ``max_line_df`` distinct documents, rebuild each doc
+    from its surviving lines in original order.
+
+    This is the sub-document pass of published web-corpus pipelines (C4 /
+    RefinedWeb line-wise dedup): headers, cookie banners, and navigation
+    chrome repeat across pages and survive document-level dedup. Lines
+    shorter than ``min_line_chars`` are kept as-is (blank separators carry
+    no signal and would all collide).
+
+    Scale shape: explode to (id, pos, line-hash) — the document-frequency
+    aggregation shuffles 8-byte hashes, not line text; hot lines come back
+    as a left-anti join; docs rebuild with one groupBy(id) using a sorted
+    (pos, line) collect. Every shuffle key is slim; nothing quadratic.
+    Docs whose every line was boilerplate come back with empty text rather
+    than vanishing.
+    """
+    other_cols = [c for c in df.columns if c != text_col]
+    lines = df.select(
+        *other_cols, F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line")
+    )
+    lines = lines.withColumn("_lh", F.xxhash64("_line"))
+    judged = F.length("_line") >= min_line_chars
+    hot = (
+        lines.filter(judged)
+        .groupBy("_lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_ldf"))
+        .filter(F.col("_ldf") > max_line_df)
+        .select("_lh")
+    )
+    kept = lines.join(hot, ["_lh"], "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+    )
+    return (
+        df.drop(text_col)
+        .join(rebuilt, id_col, "left")
+        .fillna({text_col: "", "n_lines_kept": 0})
+    )
+
+
+def canonicalize_url(
+    col: Column,
+    strip_params: list[str] | None = None,
+) -> Column:
+    """URL canonicalization for dedup keys: lowercase scheme+host, drop
+    default ports and fragments, strip tracking query params (utm_* family
+    plus ``strip_params``), sort the surviving query pairs, trim trailing
+    slash on non-root paths. Pure Column expressions — no UDF.
+
+    The same page under ``HTTP://Example.com:80/a/?utm_source=x&b=1&a=2``
+    and ``http://example.com/a?a=2&b=1`` keys identically, which is what a
+    crawl-dedup pass needs before exact/URL-keyed grouping.
+    """
+    extra = [p.lower() for p in (strip_params or [])]
+    scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    rest = F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # fragment never reaches servers
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    path = F.regexp_extract(rest, r"^[^/?]+([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.)/$", "$1")
+    )
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    pairs = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.lower(F.regexp_extract(p, r"^([^=]*)", 1)).rlike(
+            "^(" + "|".join(["utm_[a-z]+", "fbclid", "gclid", "ref"] + [
+                __import__("re").escape(e) for e in extra
+            ]) + ")$"
+        ),
+    )
+    qsorted = F.array_join(F.array_sort(pairs), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qsorted != "", F.concat(F.lit("?"), qsorted)).otherwise(F.lit("")),
+    )

@@ -111,6 +111,49 @@ def test_benchmark_contamination(spark):
     assert abs(out[12].overlap - 6 / 13) < 1e-9 and not out[12].contaminated
 
 
+def test_line_dedup_boilerplate_removal(spark):
+    """Line-level dedup: a cookie-banner line shared by 3 docs is removed
+    everywhere; unique lines keep their original order; an all-boilerplate
+    doc comes back empty instead of vanishing."""
+    banner = "accept cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one\n{banner}\nbody text alpha"),
+            (2, f"{banner}\nbody text beta\nclosing words"),
+            (3, f"body text gamma\n{banner}"),
+            (4, banner),  # nothing but boilerplate
+            (5, "totally unique document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup(docs, max_line_df=2).collect()}
+    assert out[1].text == "intro one\nbody text alpha"
+    assert out[2].text == "body text beta\nclosing words"
+    assert out[3].text == "body text gamma"
+    assert out[4].text == "" and out[4].n_lines_kept == 0
+    assert out[5].text == "totally unique document"
+
+
+def test_canonicalize_url(spark):
+    rows = [
+        (1, "HTTP://Example.com:80/a/?utm_source=x&b=1&a=2#frag"),
+        (2, "http://example.com/a?a=2&b=1"),
+        (3, "https://Example.com:443/"),
+        (4, "https://example.com"),
+        (5, "https://site.io/p?gclid=123&keep=1&ref=tw"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {
+        r.id: r.canon
+        for r in df.select(
+            "id", dedup.canonicalize_url(F.col("url")).alias("canon")
+        ).collect()
+    }
+    assert got[1] == got[2] == "http://example.com/a?a=2&b=1"
+    assert got[3] == got[4] == "https://example.com/"
+    assert got[5] == "https://site.io/p?keep=1"
+
+
 def test_ngram_prefix_filter_is_exact(spark):
     """Prefix-filtered candidate generation (AllPairs/PPJoin) must return
     EXACTLY the brute-force pair set at every threshold — completeness is
