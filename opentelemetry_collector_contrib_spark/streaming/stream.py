@@ -284,3 +284,54 @@ def streaming_recombine(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_span_metrics(
+    spark: SparkSession,
+    input_df: DataFrame,
+    out_dir: str,
+    dimensions: list[str],
+    duration_col: str = "duration",
+    ts_col: str = "ts",
+    interval: str = "10 seconds",
+    watermark: str = "30 seconds",
+    explicit_buckets: list[float] | None = None,
+):
+    """spanmetrics connector in streaming form: tumbling-window calls count +
+    explicit-bucket duration histogram per dimension set, watermarked so
+    window state is bounded (the connector's flush-interval metrics emission,
+    ``connector/spanmetricsconnector/config.go:43-141``).
+
+    Reuses the batch operator's bucket aggregates over a windowed groupBy —
+    one stateful aggregation, update-mode emission per micro-batch (append
+    would hold final windows in state until a watermark that availableNow
+    never advances past end-of-stream). Output rows append to
+    ``out_dir/span_metrics`` with a batch_id; readers take the latest row
+    per (window_start, dimensions).
+    """
+    from ..operators.connectors import span_metrics
+
+    windowed = (
+        input_df.withWatermark(ts_col, watermark)
+        .withColumn("w", F.window(ts_col, interval))
+    )
+    agg = span_metrics(
+        windowed, ["w", *dimensions], duration_col, explicit_buckets=explicit_buckets
+    )
+    agg = agg.select(
+        F.col("w.start").alias("window_start"),
+        *[c for c in agg.columns if c != "w"],
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            os.path.join(out_dir, "span_metrics")
+        )
+
+    return (
+        agg.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_ck_spanmetrics"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -105,3 +105,66 @@ def test_streaming_recombine_stateful(spark, tmp_path):
         # trailing open session: force_flush timeout fires before the
         # availableNow query drains (reference force_flush_period flush)
         assert got[(src, base + 5)] == ("START closer", 1)
+
+
+def test_streaming_span_metrics(spark, tmp_path):
+    """spanmetrics in streaming form: watermarked tumbling-window explicit
+    histograms must agree with the batch operator over the same rows."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.connectors import span_metrics
+    from opentelemetry_collector_contrib_spark.streaming.stream import (
+        streaming_span_metrics,
+    )
+
+    inp = tmp_path / "spans_in"
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                base + datetime.timedelta(seconds=i % 25),
+                "op_a" if i % 3 else "op_b",
+                float((i * 37) % 300),
+            )
+        )
+    # write the fixture via Spark: pandas emits TIMESTAMP(NANOS) which the
+    # streaming reader's micros schema refuses
+    spark.createDataFrame(
+        rows, "ts timestamp, span_name string, duration double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(inp))
+
+    out = str(tmp_path / "spans_out")
+    stream_in = spark.readStream.schema(
+        "ts timestamp, span_name string, duration double"
+    ).parquet(str(inp))
+    q = streaming_span_metrics(
+        spark, stream_in, out, ["span_name"], "duration", "ts",
+        interval="10 seconds", explicit_buckets=[50, 100, 200],
+    )
+    q.awaitTermination(120)
+
+    got_df = spark.read.parquet(out + "/span_metrics")
+    # latest emission per (window, dims) — update mode re-emits on change
+    w = __import__("pyspark").sql.Window.partitionBy("window_start", "span_name").orderBy(
+        F.desc("batch_id")
+    )
+    got = {
+        (str(r.window_start), r.span_name): (r.calls, r.le_50, r.le_100, r.le_200, r.le_inf)
+        for r in got_df.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .collect()
+    }
+
+    batch_df = spark.createDataFrame(rows, "ts timestamp, span_name string, duration double")
+    batch = span_metrics(
+        batch_df.withColumn("w", F.window("ts", "10 seconds")),
+        ["w", "span_name"], "duration", explicit_buckets=[50, 100, 200],
+    )
+    want = {
+        (str(r["w"].start), r.span_name): (r.calls, r.le_50, r.le_100, r.le_200, r.le_inf)
+        for r in batch.collect()
+    }
+    assert got == want and len(want) >= 4
