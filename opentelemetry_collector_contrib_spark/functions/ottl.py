@@ -1696,11 +1696,140 @@ class Compiler:
             cur = self._fused_entry_step(cur, stmt.editor, self._stmt_cond(stmt))
         return df.withColumn(target, F.map_from_entries(cur))
 
+    # ---- fused XML-converter runs -----------------------------------------
+    #
+    # `set(t1, ParseSimplifiedXML(body)); set(t2, RemoveXML(body, ...)); …`
+    # naively runs one pandas UDF PER STATEMENT: the source column ships
+    # through Arrow once per converter and read-only converters re-parse the
+    # same document. A run of consecutive literal-arg XML set() statements
+    # over the same source compiles to ONE struct-returning pandas UDF —
+    # one Arrow round-trip, one shared parse for the read-only converters
+    # (mutating ones still parse their own copy), same per-op None-on-error
+    # semantics as the standalone wrappers.
+
+    #: name -> ("doc" = takes a shared parsed _Doc, "str" = takes raw text)
+    _XML_FUSIBLE = {
+        "ParseXML": "str",  # builds its own ElementTree walk
+        "ParseSimplifiedXML": "doc",
+        "GetXML": "doc",
+        "RemoveXML": "str",
+        "InsertXML": "str",
+        "ConvertAttributesToElementsXML": "str",
+        "ConvertTextToElementsXML": "str",
+    }
+
+    def _xml_set_spec(self, df: DataFrame, stmt: Statement):
+        """(target, source, fn_name, extra_args) when stmt is a fusible
+        literal-arg XML set() with no guard, else None."""
+        ed = stmt.editor
+        if (
+            ed.name != "set"
+            or stmt.where is not None
+            or self.global_guard is not None
+            or len(ed.args) != 2
+        ):
+            return None
+        val = ed.args[1]
+        if not isinstance(val, Call) or val.name not in self._XML_FUSIBLE:
+            return None
+        if val.kwargs or not val.args or not isinstance(val.args[0], Path):
+            return None
+        extras = []
+        for a in val.args[1:]:
+            if not isinstance(a, Lit):
+                return None
+            extras.append(a.value)
+        try:
+            src = self.resolver.column_name(val.args[0])
+            tgt = self.resolver.column_name(ed.args[0])
+        except Exception:
+            return None
+        if src == tgt or dict(df.dtypes).get(src) != "string":
+            return None
+        return (tgt, src, val.name, tuple(extras))
+
+    def _apply_xml_fused(self, df: DataFrame, specs: list[tuple]) -> DataFrame:
+        import pandas as pd
+
+        from . import xmlfuncs as X
+
+        src = specs[0][1]
+        ops = [(name, extras) for (_t, _s, name, extras) in specs]
+        impl = {
+            "ParseXML": X.parse_xml_str,
+            "ParseSimplifiedXML": X.parse_simplified_from_doc,
+            "GetXML": X.get_xml_from_doc,
+            "RemoveXML": X.remove_xml_str,
+            "InsertXML": X.insert_xml_str,
+            "ConvertAttributesToElementsXML": X.convert_attributes_to_elements_str,
+            "ConvertTextToElementsXML": X.convert_text_to_elements_str,
+        }
+        kinds = self._XML_FUSIBLE
+        fields = [f"c{i}" for i in range(len(ops))]
+        rtype = "struct<" + ",".join(f"{f}:string" for f in fields) + ">"
+
+        # no type hints: `from __future__ import annotations` stringifies
+        # them and pyspark's hint inference rejects the signature — explicit
+        # returnType makes this a SCALAR pandas UDF (Series -> DataFrame
+        # for struct returns)
+        def _fused(s):
+            cols: list[list] = [[] for _ in ops]
+            for v in s:
+                doc = None
+                doc_failed = False
+                for i, (name, extras) in enumerate(ops):
+                    if v is None:
+                        cols[i].append(None)
+                        continue
+                    try:
+                        if kinds[name] == "doc":
+                            if name == "GetXML" and not v:
+                                cols[i].append("")  # get_xml_str("") == ""
+                                continue
+                            if doc is None and not doc_failed:
+                                try:
+                                    doc = X._parse_doc(v)
+                                except (X.ET.ParseError, X.XMLArgError):
+                                    doc_failed = True
+                            cols[i].append(
+                                None if doc_failed else impl[name](doc, *extras)
+                            )
+                        else:
+                            cols[i].append(impl[name](v, *extras))
+                    except Exception:
+                        cols[i].append(None)
+            return pd.DataFrame({f: c for f, c in zip(fields, cols)})
+
+        fused = F.pandas_udf(_fused, rtype)
+        tmp = "_xml_fused_out"
+        df = df.withColumn(tmp, fused(F.col(src)))
+        for i, (tgt, *_rest) in enumerate(specs):
+            df = df.withColumn(tgt, F.col(tmp)[fields[i]])
+        return df.drop(tmp)
+
     def apply_all(self, df: DataFrame, statements: list[str]) -> DataFrame:
         parsed = [parse_statement(s) for s in statements]
         i = 0
         while i < len(parsed):
             self.resolver.columns = set(df.columns)
+            spec = self._xml_set_spec(df, parsed[i])
+            if spec is not None:
+                specs = [spec]
+                taken = {spec[0]}
+                j = i + 1
+                while j < len(parsed):
+                    sp = self._xml_set_spec(df, parsed[j])
+                    # same source, fresh target, and the source isn't a
+                    # column this run already wrote
+                    if sp is None or sp[1] != spec[1] or sp[0] in taken or sp[1] in taken:
+                        break
+                    specs.append(sp)
+                    taken.add(sp[0])
+                    j += 1
+                if len(specs) >= 2:
+                    df = self._apply_xml_fused(df, specs)
+                    i = j
+                    continue
             target = self._fuse_target(df, parsed[i])
             if target is not None:
                 j = i + 1

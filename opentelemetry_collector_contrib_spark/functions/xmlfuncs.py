@@ -265,6 +265,12 @@ def parse_simplified_xml_str(s: str) -> str | None:
         doc = _parse_doc(s)
     except (ET.ParseError, XMLArgError):
         return None
+    return parse_simplified_from_doc(doc)
+
+
+def parse_simplified_from_doc(doc: "_Doc") -> str | None:
+    """ParseSimplifiedXML over an already-parsed doc (read-only — shareable
+    across converters in a fused statement run)."""
 
     def leaf_value(e: _Elem) -> str:
         if any(isinstance(c, _Elem) for c in e.children):
@@ -313,8 +319,17 @@ def get_xml_str(s: str, xp: str) -> str | None:
         return ""
     try:
         doc = _parse_doc(s)
-        matches = _select(doc, xp)
     except (ET.ParseError, XMLArgError):
+        return None
+    return get_xml_from_doc(doc, xp)
+
+
+def get_xml_from_doc(doc: "_Doc", xp: str) -> str | None:
+    """GetXML over an already-parsed doc (read-only — shareable across
+    converters in a fused statement run)."""
+    try:
+        matches = _select(doc, xp)
+    except XMLArgError:
         return None
     parts = []
     for m in matches:

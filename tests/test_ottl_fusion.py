@@ -112,3 +112,38 @@ def test_fusion_actually_engages(spark, maps_df):
     out = c.apply_all(maps_df, CHAINS[0])
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "map_from_entries" in plan
+
+
+def test_xml_converter_run_fuses_and_matches(spark):
+    """Consecutive XML set() statements over one source compile to ONE
+    pandas UDF (single ArrowEvalPython / struct output) and produce exactly
+    the per-statement results, including None for unparseable rows."""
+    stmts = [
+        "set(simplified, ParseSimplifiedXML(body))",
+        'set(no_msg, RemoveXML(body, "/Log/Msg"))',
+        'set(type_xml, GetXML(body, "/Log/Type"))',
+        "set(attr_elems, ConvertAttributesToElementsXML(body))",
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, '<Log id="7"><Type>warn</Type><Msg>m 1</Msg></Log>'),
+            (2, "not xml at all <<<"),
+            (3, None),
+        ],
+        "id long, body string",
+    )
+    c = Compiler(PathResolver(df))
+    fused = c.apply_all(df, stmts)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1  # one UDF for the whole run
+
+    c2 = Compiler(PathResolver(df))
+    unfused = df
+    for s in stmts:
+        unfused = c2._apply_stmt(unfused, parse_statement(s))
+    cols = ["id", "simplified", "no_msg", "type_xml", "attr_elems"]
+    got = sorted(tuple(r) for r in fused.select(cols).collect())
+    want = sorted(tuple(r) for r in unfused.select(cols).collect())
+    assert got == want
+    assert got[0][1] is not None  # row 1 parsed
+    assert all(v is None for v in got[1][1:])  # bad xml → all None
