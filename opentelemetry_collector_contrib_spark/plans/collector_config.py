@@ -25,7 +25,10 @@ processors
   ``filter`` (logs.log_record condition list), ``attributes`` /
   ``resource`` (action lists), ``probabilistic_sampler``
   (sampling_percentage, mode), ``redaction``, ``batch`` (physical no-op:
-  micro-batching is Spark's), ``groupbyattrs`` (repartition keys).
+  micro-batching is Spark's), ``groupbyattrs`` (repartition keys),
+  ``logdedup`` (include/exclude_fields, interval window,
+  log_count_attribute), ``drain`` (tree_depth / merge_threshold /
+  max_node_children / body_field / template_attribute → true online Drain).
 
 connectors
   ``routing``: table[].statement (``route() where <cond>``) or
@@ -256,7 +259,62 @@ def apply_processor(df: DataFrame, name: str, spec: dict) -> DataFrame:
         return df  # micro-batching is the engine's job (SURVEY §2.5 batch row)
     if kind == "groupbyattrs":
         return processors.group_by_attrs(df, [_field(k) for k in spec.get("keys", [])])
+    if kind == "logdedup":
+        # processor/logdedupprocessor/config.go:44-53: include_fields lists
+        # the dedup key; interval is the tumbling flush window; conditions
+        # gate which records dedup at all (others pass through untouched)
+        from ..operators.dedup import log_dedup
+
+        keys = [_field(k) for k in spec.get("include_fields", [])] or [
+            c for c in df.columns if c not in ("_line_id", "_input_file")
+        ]
+        keys = [k for k in keys if k not in (spec.get("exclude_fields") or [])]
+        interval_s = _duration_seconds(spec.get("interval", "10s"))
+        # records without an event time (unparsed lines) still dedup: the
+        # reference counts by arrival; a null event-time row would silently
+        # drop out of the window aggregate, so anchor nulls at epoch
+        ts_col = "_dedup_ts"
+        src_ts = F.col("timestamp") if "timestamp" in df.columns else F.lit(None)
+        df = df.withColumn(
+            ts_col,
+            F.coalesce(src_ts.cast("timestamp"), F.lit("1970-01-01").cast("timestamp")),
+        )
+        out = log_dedup(df, keys, ts_col=ts_col, interval=f"{interval_s} seconds").drop(
+            ts_col
+        )
+        cnt_attr = spec.get("log_count_attribute", "log.record.count")
+        return out.withColumnRenamed("log_count", _field(cnt_attr).replace(".", "_"))
+    if kind == "drain":
+        # processor/drainprocessor/config.go: tree_depth, merge_threshold,
+        # max_node_children, body_field, template_attribute → the true
+        # online Drain operator (per-partition trees + template merge)
+        from ..operators.templates import drain_processor
+
+        return drain_processor(
+            df,
+            text_col=_field(spec.get("body_field") or "body"),
+            depth=spec.get("tree_depth", 4),
+            st=spec.get("merge_threshold", 0.4),
+            max_children=spec.get("max_node_children", 100),
+            # dotted attribute names flatten like PathResolver keys do
+            template_attribute=_field(
+                spec.get("template_attribute", "log.record.template")
+            ).replace(".", "_"),
+        )
     raise ValueError(f"unsupported processor {name!r}")
+
+
+def _duration_seconds(v) -> int:
+    """'10s' / '2m' / '250ms' / int seconds → whole seconds (min 1)."""
+    if isinstance(v, (int, float)):
+        return max(int(v), 1)
+    s = str(v).strip()
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ms|s|m|h)?", s)
+    if not m:
+        raise ValueError(f"bad duration {v!r}")
+    n = float(m.group(1))
+    mult = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, None: 1}[m.group(2)]
+    return max(int(n * mult), 1)
 
 
 # ------------------------------------------------------------- connectors

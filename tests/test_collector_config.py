@@ -406,3 +406,75 @@ def test_unsupported_component_raises(spark, config):
     }
     with pytest.raises(ValueError, match="unsupported receiver 'otlp'"):
         load_collector_config(spark, cfg)
+
+
+def test_logdedup_processor_in_config(spark, config):
+    """processor/logdedupprocessor via YAML: include_fields key the dedup,
+    interval is the tumbling window, log_count_attribute names the count."""
+    cfg = dict(config)
+    cfg["processors"] = {
+        "logdedup": {
+            "include_fields": ["sev"],
+            "interval": "60s",
+            "log_count_attribute": "dedup_count",
+        }
+    }
+    cfg["service"] = {
+        "pipelines": {
+            "logs/in": {
+                "receivers": ["filelog"],
+                "processors": ["logdedup"],
+                "exporters": [],
+            }
+        }
+    }
+    t = load_collector_config(spark, cfg)
+    rows = {r.sev: r.dedup_count for r in t.frames["logs/in"].collect() if r.sev}
+    # fixture: 2 ERROR, 1 INFO, 1 WARN, 1 DEBUG lines (same timestamp day,
+    # one 60s window per calendar day is irrelevant — both ERROR lines are
+    # different days, so assert totals instead)
+    total = sum(r.dedup_count for r in t.frames["logs/in"].collect())
+    assert total == 6  # every input line counted exactly once
+    assert set(rows) <= {"ERROR", "INFO", "WARN", "DEBUG", ""}
+
+
+def test_drain_processor_in_config(spark, tmp_path):
+    """processor/drainprocessor via YAML: template attribute attached by the
+    true online Drain operator."""
+    log = tmp_path / "drain.log"
+    log.write_text(
+        "\n".join(
+            [
+                "user alice logged in from hostalpha",
+                "user bob logged in from hostbeta",
+                "user carol logged in from hostgamma",
+                "session closed for peer east",
+                "session closed for peer west",
+            ]
+        )
+        + "\n"
+    )
+    cfg = {
+        "receivers": {"filelog": {"include": [str(log)]}},
+        "processors": {
+            "drain": {
+                "tree_depth": 3,
+                "merge_threshold": 0.4,
+                "template_attribute": "log.record.template",
+            }
+        },
+        "exporters": {},
+        "service": {
+            "pipelines": {
+                "logs/in": {
+                    "receivers": ["filelog"],
+                    "processors": ["drain"],
+                    "exporters": [],
+                }
+            }
+        },
+    }
+    t = load_collector_config(spark, cfg)
+    rows = {r.body: r.log_record_template for r in t.frames["logs/in"].collect()}
+    assert rows["user bob logged in from hostbeta"] == "user <*> logged in from <*>"
+    assert rows["session closed for peer east"] == "session closed for peer <*>"
