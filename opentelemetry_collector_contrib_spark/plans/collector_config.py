@@ -301,7 +301,86 @@ def apply_processor(df: DataFrame, name: str, spec: dict) -> DataFrame:
                 spec.get("template_attribute", "log.record.template")
             ).replace(".", "_"),
         )
+    if kind in (
+        "cumulativetodelta", "deltatocumulative", "deltatorate",
+        "interval", "metricstarttime", "metricstransform", "metricsgeneration",
+    ):
+        return _apply_metrics_processor(df, kind, spec)
     raise ValueError(f"unsupported processor {name!r}")
+
+
+def _apply_metrics_processor(df: DataFrame, kind: str, spec: dict) -> DataFrame:
+    """The metrics-processor family over a flat metric frame.
+
+    Flat-model conventions (our extension keys, since pdata's implicit
+    series identity needs naming on a table): ``series_keys`` lists the
+    series-identity columns (default: every column except ts/value),
+    ``ts_field`` (default ``timestamp`` if present else ``ts``),
+    ``value_field`` (default ``value``). Reference spec keys map per
+    processor: metricstransform transforms[].{include,action=update,
+    new_name, operations[].aggregate_labels/experimental_scale_value},
+    metricsgeneration rules[].{name,metric_1,metric_2,operation},
+    interval.interval, metricstarttime.strategy.
+    """
+    from ..operators import metrics as M
+
+    ts_col = spec.get("ts_field") or ("timestamp" if "timestamp" in df.columns else "ts")
+    value_col = spec.get("value_field", "value")
+    keys = [_field(k) for k in spec.get("series_keys", [])] or [
+        c for c in df.columns
+        if c not in (ts_col, value_col, "_line_id", "_input_file")
+    ]
+    if kind == "cumulativetodelta":
+        return M.cumulative_to_delta(df, keys, ts_col=ts_col, value_col=value_col)
+    if kind == "deltatocumulative":
+        return M.delta_to_cumulative(df, keys, ts_col=ts_col, value_col=value_col)
+    if kind == "deltatorate":
+        return M.delta_to_rate(df, keys, ts_col=ts_col, value_col=value_col)
+    if kind == "interval":
+        secs = _duration_seconds(spec.get("interval", "60s"))
+        return M.interval_last(
+            df, keys, ts_col=ts_col, value_col=value_col, interval=f"{secs} seconds"
+        )
+    if kind == "metricstarttime":
+        return M.metric_start_time(
+            df, keys, ts_col=ts_col, value_col=value_col,
+            strategy=spec.get("strategy", "true_reset_point"),
+        )
+    if kind == "metricsgeneration":
+        for rule in spec.get("rules", []):
+            if rule.get("type", "calculate") != "calculate":
+                raise ValueError("metricsgeneration: only calculate rules translate")
+            df = M.metrics_generation(
+                df, rule["name"], _field(rule["metric_1"]), _field(rule["metric_2"]),
+                rule.get("operation", "divide"), value_col=value_col,
+            )
+        return df
+    # metricstransform: subset — action=update with new_name (rename),
+    # experimental_scale_value, aggregate_labels (label_set kept, others
+    # merged with aggregation_type)
+    for tr in spec.get("transforms", []):
+        if tr.get("action", "update") != "update":
+            raise ValueError("metricstransform: only action=update translates")
+        rename = None
+        if tr.get("include") and tr.get("new_name"):
+            rename = {tr["include"]: tr["new_name"]}
+        scale = None
+        aggregate_across = None
+        agg_type = "sum"
+        for op in tr.get("operations", []):
+            a = op.get("action")
+            if a == "experimental_scale_value":
+                scale = op["experimental_scale"]
+            elif a == "aggregate_labels":
+                aggregate_across = [_field(k) for k in op.get("label_set", [])]
+                agg_type = op.get("aggregation_type", "sum")
+            else:
+                raise ValueError(f"metricstransform: unsupported operation {a!r}")
+        df = M.metrics_transform(
+            df, rename=rename, scale=scale, aggregate_across=aggregate_across,
+            agg_type=agg_type, value_col=value_col,
+        )
+    return df
 
 
 def _duration_seconds(v) -> int:

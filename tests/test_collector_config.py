@@ -478,3 +478,52 @@ def test_drain_processor_in_config(spark, tmp_path):
     rows = {r.body: r.log_record_template for r in t.frames["logs/in"].collect()}
     assert rows["user bob logged in from hostbeta"] == "user <*> logged in from <*>"
     assert rows["session closed for peer east"] == "session closed for peer <*>"
+
+
+def test_metrics_processors_in_config(spark):
+    """The metrics-processor family translates: a metric frame flows
+    through cumulativetodelta -> metricstransform (rename + scale +
+    aggregate_labels) with flat-model series conventions."""
+    rows = []
+    for host in ("h1", "h2"):
+        for i, v in enumerate([10.0, 15.0, 30.0, 31.0]):
+            rows.append(("req.count", host, i, v))
+    mf = spark.createDataFrame(rows, "metric_name string, host string, ts long, value double")
+    cfg = {
+        "receivers": {"inmem": {}},
+        "processors": {
+            "cumulativetodelta": {"series_keys": ["metric_name", "host"], "ts_field": "ts"},
+            "metricstransform": {
+                "value_field": "delta",
+                "transforms": [
+                    {
+                        "include": "req.count",
+                        "action": "update",
+                        "new_name": "req.delta",
+                        "operations": [
+                            {"action": "experimental_scale_value", "experimental_scale": 2.0},
+                            {"action": "aggregate_labels", "label_set": ["host"],
+                             "aggregation_type": "sum"},
+                        ],
+                    }
+                ],
+            },
+        },
+        "exporters": {},
+        "service": {
+            "pipelines": {
+                "metrics/in": {
+                    "receivers": ["inmem"],
+                    "processors": ["cumulativetodelta", "metricstransform"],
+                    "exporters": [],
+                }
+            }
+        },
+    }
+    t = load_collector_config(spark, cfg, receiver_frames={"inmem": mf})
+    got = {
+        (r.metric_name, r.host): (r.delta, r.points_merged)
+        for r in t.frames["metrics/in"].collect()
+    }
+    # per-host deltas: 5,15,1 → sum 21; scaled ×2 → 42; 3 points merged
+    assert got == {("req.delta", "h1"): (42.0, 3), ("req.delta", "h2"): (42.0, 3)}
