@@ -753,4 +753,29 @@ def _connector_output(cname, cspec, target_pipeline, pipelines, frames):
         for extra in frames_list[1:]:
             res = res.unionByName(extra, allowMissingColumns=True)
         return res
+    if kind == "sum":
+        # connector/sumconnector/config.go:28-34: logs.{metric}: source
+        # attribute summed per dimension set under OR'd conditions
+        frames_list = []
+        for mname, mspec in ((cspec or {}).get("logs") or {}).items():
+            mspec = mspec or {}
+            cond = None
+            for c in mspec.get("conditions", []):
+                col = _compile_expr(src, c)
+                cond = col if cond is None else (cond | col)
+            dims = [_field(a["key"]) for a in mspec.get("attributes", [])]
+            out = conn.sum_connector(
+                src,
+                source_attribute=_field(mspec["source_attribute"]),
+                dimensions=dims,
+                condition=cond,
+                name="sum",
+            )
+            frames_list.append(out.withColumn("metric_name", F.lit(mname)))
+        if not frames_list:
+            raise ValueError(f"sum connector {cname!r} defines no logs metrics")
+        res = frames_list[0]
+        for extra in frames_list[1:]:
+            res = res.unionByName(extra, allowMissingColumns=True)
+        return res
     raise ValueError(f"unsupported connector {cname!r}")

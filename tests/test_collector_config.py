@@ -527,3 +527,36 @@ def test_metrics_processors_in_config(spark):
     }
     # per-host deltas: 5,15,1 → sum 21; scaled ×2 → 42; 3 points merged
     assert got == {("req.delta", "h1"): (42.0, 3), ("req.delta", "h2"): (42.0, 3)}
+
+
+def test_sum_connector_in_config(spark, config):
+    """connector/sumconnector via YAML: source_attribute summed per
+    dimension under a condition, bridging logs -> metrics pipelines."""
+    cfg = dict(config)
+    cfg["processors"] = {}
+    cfg["connectors"] = {
+        "sum": {
+            "logs": {
+                "chars.sum": {
+                    "source_attribute": "attributes.msglen",
+                    "conditions": ['sev != ""'],
+                    "attributes": [{"key": "sev"}],
+                }
+            }
+        }
+    }
+    cfg["receivers"]["filelog"]["operators"] = list(
+        cfg["receivers"]["filelog"]["operators"]
+    ) + [{"type": "add", "field": "attributes.msglen", "value": "EXPR(Len(msg))"}]
+    cfg["service"] = {
+        "pipelines": {
+            "logs/in": {"receivers": ["filelog"], "exporters": ["sum"]},
+            "metrics/sums": {"receivers": ["sum"], "exporters": []},
+        }
+    }
+    t = load_collector_config(spark, cfg)
+    got = {r.sev: r.sum for r in t.frames["metrics/sums"].collect()}
+    # msg lengths: ERROR 'boom in auth'(12)+'crash in db'(11)=23,
+    # INFO 'hello world'(11), WARN 'disk low'(8), DEBUG 'noisy detail'(12)
+    assert got["ERROR"] == 23 and got["INFO"] == 11
+    assert got["WARN"] == 8 and got["DEBUG"] == 12
