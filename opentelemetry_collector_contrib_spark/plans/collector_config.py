@@ -306,7 +306,82 @@ def apply_processor(df: DataFrame, name: str, spec: dict) -> DataFrame:
         "interval", "metricstarttime", "metricstransform", "metricsgeneration",
     ):
         return _apply_metrics_processor(df, kind, spec)
+    if kind == "groupbytrace":
+        # processor/groupbytraceprocessor: wait_duration/num_traces are
+        # buffering knobs — batch sees whole traces, assembly is exact
+        from ..operators.templates import group_by_trace
+
+        return group_by_trace(
+            df,
+            trace_col=_field(spec.get("trace_field") or "trace_id"),
+            ts_col=spec.get("ts_field") or ("timestamp" if "timestamp" in df.columns else "ts"),
+        )
+    if kind == "tail_sampling":
+        from ..operators.templates import tail_sampling
+
+        return tail_sampling(
+            df,
+            [_ts_policy(p) for p in spec.get("policies", [])],
+            trace_col=_field(spec.get("trace_field") or "trace_id"),
+            ts_col=spec.get("ts_field") or ("timestamp" if "timestamp" in df.columns else "ts"),
+        )
     raise ValueError(f"unsupported processor {name!r}")
+
+
+#: tailsamplingprocessor config → operator policy dict: the reference nests
+#: per-type settings under a key named after the type
+#: (processor/tailsamplingprocessor/config.go); field names differ slightly
+_TS_FIELD_MAP = {
+    "latency": {"threshold_ms": "threshold_ms", "upper_threshold_ms": "upper_threshold_ms"},
+    "numeric_attribute": {"key": "key", "min_value": "min", "max_value": "max"},
+    "string_attribute": {"key": "key", "values": "values"},
+    "boolean_attribute": {"key": "key", "value": "value"},
+    "status_code": {"status_codes": "values"},
+    "trace_state": {"key": "key", "values": "values"},
+    "span_count": {"min_spans": "min_spans", "max_spans": "max_spans"},
+    "probabilistic": {"sampling_percentage": "percent", "hash_salt": "seed"},
+    "rate_limiting": {"spans_per_second": "spans_per_second"},
+}
+_TS_SUBLIST = {
+    "and": "and_sub_policy",
+    "drop": "drop_sub_policy",
+    "composite": "composite_sub_policy",
+}
+
+
+def _ts_policy(p: dict) -> dict:
+    """One reference tail-sampling policy block → operator policy dict."""
+    t = p["type"]
+    if t in ("always", "always_sample"):
+        return {"type": "always"}
+    if t == "ottl_condition":
+        sub = p.get("ottl_condition", p)
+        return {"type": "ottl_condition", "conditions": list(sub.get("span", []))}
+    if t in _TS_SUBLIST:
+        sub = p.get(t, {})
+        out = {
+            "type": t,
+            "policies": [_ts_policy(sp) for sp in sub.get(_TS_SUBLIST[t], [])],
+        }
+        if t == "composite":
+            if "max_total_spans_per_second" in sub:
+                out["max_total_sps"] = sub["max_total_spans_per_second"]
+            if sub.get("rate_allocation"):
+                out["rate_allocation"] = [r["percent"] for r in sub["rate_allocation"]]
+        return out
+    if t == "not":
+        sub = p.get("not", {})
+        return {"type": "not", "policies": [_ts_policy(sp) for sp in sub.get("policies", [])]}
+    if t in _TS_FIELD_MAP:
+        sub = p.get(t, {})
+        out = {"type": t}
+        for src_key, dst_key in _TS_FIELD_MAP[t].items():
+            if src_key in sub:
+                out[dst_key] = sub[src_key]
+        if t in ("numeric_attribute", "string_attribute", "boolean_attribute"):
+            out["key"] = _field(out.get("key"))
+        return out
+    raise ValueError(f"unsupported tail_sampling policy type {t!r}")
 
 
 def _apply_metrics_processor(df: DataFrame, kind: str, spec: dict) -> DataFrame:
@@ -778,4 +853,38 @@ def _connector_output(cname, cspec, target_pipeline, pipelines, frames):
         for extra in frames_list[1:]:
             res = res.unionByName(extra, allowMissingColumns=True)
         return res
+    if kind == "spanmetrics":
+        # connector/spanmetricsconnector/config.go:43-141 — dimensions[].name,
+        # histogram.explicit.buckets (durations) or histogram.exponential;
+        # flat-model extensions: duration_field (default `duration`),
+        # trace_field for exemplars
+        cspec = cspec or {}
+        dims = [_field(d["name"]) for d in cspec.get("dimensions", [])]
+        dur = _field(cspec.get("duration_field") or "duration")
+        hist = cspec.get("histogram") or {}
+        if "exponential" in hist:
+            return conn.span_metrics_exponential(
+                src, dims, dur, scale=(hist["exponential"] or {}).get("scale", 2)
+            )
+        buckets = None
+        if "explicit" in hist and (hist["explicit"] or {}).get("buckets"):
+            buckets = [_duration_ms(b) for b in hist["explicit"]["buckets"]]
+        ex = bool((cspec.get("exemplars") or {}).get("enabled"))
+        return conn.span_metrics(
+            src, dims, dur, explicit_buckets=buckets, exemplars=ex,
+            trace_col=_field(cspec.get("trace_field") or "trace_id") if ex else None,
+        )
     raise ValueError(f"unsupported connector {cname!r}")
+
+
+def _duration_ms(v) -> float:
+    """'100ms' / '2s' / numeric milliseconds → float milliseconds."""
+    if isinstance(v, (int, float)):
+        return float(v)
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ms|s|m|h)?", str(v).strip())
+    if not m:
+        raise ValueError(f"bad duration {v!r}")
+    mult = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, None: 1}[m.group(2)]
+    ms = float(m.group(1)) * mult
+    # whole-ms buckets keep clean le_<N> histogram column names
+    return int(ms) if ms.is_integer() else ms

@@ -560,3 +560,60 @@ def test_sum_connector_in_config(spark, config):
     # INFO 'hello world'(11), WARN 'disk low'(8), DEBUG 'noisy detail'(12)
     assert got["ERROR"] == 23 and got["INFO"] == 11
     assert got["WARN"] == 8 and got["DEBUG"] == 12
+
+
+def test_traces_pipeline_in_config(spark):
+    """Traces path through the translator: tail_sampling (reference policy
+    nesting) keeps slow/error traces, spanmetrics bridges to a metrics
+    pipeline with explicit duration buckets."""
+    rows = [
+        # trace t1: 2 spans, has status 500 -> sampled by status_code
+        ("t1", 0, "GET /a", 200, 30.0),
+        ("t1", 1, "GET /a", 500, 80.0),
+        # trace t2: fast + ok -> dropped by sampling
+        ("t2", 2, "GET /b", 200, 10.0),
+        # trace t3: numeric attribute above min -> sampled
+        ("t3", 3, "GET /c", 200, 250.0),
+    ]
+    spans = spark.createDataFrame(
+        rows, "trace_id string, ts long, span_name string, status_code int, duration double"
+    )
+    cfg = {
+        "receivers": {"inmem": {}},
+        "processors": {
+            "tail_sampling": {
+                "ts_field": "ts",
+                "policies": [
+                    {"name": "errs", "type": "status_code",
+                     "status_code": {"status_codes": [500]}},
+                    {"name": "slow", "type": "numeric_attribute",
+                     "numeric_attribute": {"key": "duration", "min_value": 200.0}},
+                ],
+            }
+        },
+        "connectors": {
+            "spanmetrics": {
+                "dimensions": [{"name": "span_name"}],
+                "histogram": {"explicit": {"buckets": ["50ms", "100ms", "200ms"]}},
+            }
+        },
+        "exporters": {},
+        "service": {
+            "pipelines": {
+                "traces/in": {
+                    "receivers": ["inmem"],
+                    "processors": ["tail_sampling"],
+                    "exporters": ["spanmetrics"],
+                },
+                "metrics/span": {"receivers": ["spanmetrics"], "exporters": []},
+            }
+        },
+    }
+    t = load_collector_config(spark, cfg, receiver_frames={"inmem": spans})
+    kept = {r.trace_id for r in t.frames["traces/in"].collect()}
+    assert kept == {"t1", "t3"}  # t2 not sampled by any policy
+    m = {r.span_name: (r.calls, r.le_50, r.le_100, r.le_200, r.le_inf)
+         for r in t.frames["metrics/span"].collect()}
+    assert m["GET /a"] == (2, 1, 1, 0, 0)   # 30ms<=50, 80ms<=100
+    assert m["GET /c"] == (1, 0, 0, 0, 1)   # 250ms > 200
+    assert "GET /b" not in m  # sampled out upstream of the connector
