@@ -209,7 +209,7 @@ def apply_processor(df: DataFrame, name: str, spec: dict) -> DataFrame:
         for group in spec.get("log_statements", []):
             if isinstance(group, dict):
                 ctx = group.get("context")
-                if ctx not in (None, "log", "resource", "scope"):
+                if ctx not in (None, "log", "resource", "scope", "span", "metric", "datapoint"):
                     raise ValueError(f"unsupported transform context {ctx!r}")
                 df = ottl.transform_processor(
                     df,

@@ -282,3 +282,27 @@ def test_multimodal_plumbing(spark):
     assert all(r["count"] == 3 for r in per_doc)  # 3000ms / 1000ms
     resized = mm.resize_images(media, 32, 32).collect()
     assert all(r.meta.width == 32 for r in resized)
+
+
+def test_canonicalize_url_idempotent(spark):
+    """canon(canon(x)) == canon(x) over a generated URL corpus — the
+    canonical form must be a fixed point (otherwise dedup keys drift)."""
+    import itertools
+
+    schemes = ["http", "HTTPS"]
+    hosts = ["Example.com", "site.io:443", "a.b.c:80"]
+    paths = ["", "/", "/x/y/", "/x"]
+    queries = ["", "?b=2&a=1", "?utm_source=z&k=1", "?gclid=9"]
+    frags = ["", "#frag"]
+    urls = [
+        f"{s}://{h}{p}{q}{f}"
+        for s, h, p, q, f in itertools.product(schemes, hosts, paths, queries, frags)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = dedup.canonicalize_url(F.col("url"))
+    out = df.select(
+        once.alias("c1"),
+        dedup.canonicalize_url(once).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r.c1 == r.c2, r

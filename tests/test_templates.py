@@ -313,3 +313,37 @@ class TestTailSampling:
         assert a == b  # re-runnable: same hash, same decision
         full = self._ids(tail_sampling(spans, [{"type": "probabilistic", "percent": 100}]))
         assert full == ["t1", "t2", "t3"]
+
+
+class TestDrainProperties:
+    """Pure-Python property tests for DrainTree (hypothesis)."""
+
+    def test_template_always_covers_line(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from opentelemetry_collector_contrib_spark.operators.templates import DrainTree
+
+        word = st.text(alphabet="abcde0123", min_size=1, max_size=5)
+        line = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(line, min_size=1, max_size=40))
+        def run(lines):
+            tree = DrainTree(depth=3, st=0.4)
+            fits = [(x, tree.fit(x)) for x in lines]
+            for x, cluster in fits:
+                tokens = x.split()
+                tpl = cluster["tokens"]
+                # a cluster's template always has the member's token count
+                # and every non-wildcard position... may have generalized
+                # AFTER this fit; re-fit the same line and check coverage
+                assert len(tpl) == len(tokens)
+            # final templates cover every line assigned to them: wildcard
+            # or exact token at every position
+            final = [(x, tree.fit(x)) for x in lines]  # refit: now stable
+            for x, cluster in final:
+                for t, s in zip(cluster["tokens"], x.split()):
+                    assert t == "<*>" or t == s
+
+        run()
