@@ -1696,31 +1696,67 @@ class Compiler:
             cur = self._fused_entry_step(cur, stmt.editor, self._stmt_cond(stmt))
         return df.withColumn(target, F.map_from_entries(cur))
 
-    # ---- fused XML-converter runs -----------------------------------------
+    # ---- fused Python-converter runs --------------------------------------
     #
-    # `set(t1, ParseSimplifiedXML(body)); set(t2, RemoveXML(body, ...)); …`
-    # naively runs one pandas UDF PER STATEMENT: the source column ships
-    # through Arrow once per converter and read-only converters re-parse the
-    # same document. A run of consecutive literal-arg XML set() statements
-    # over the same source compiles to ONE struct-returning pandas UDF —
-    # one Arrow round-trip, one shared parse for the read-only converters
-    # (mutating ones still parse their own copy), same per-op None-on-error
-    # semantics as the standalone wrappers.
+    # `set(t1, ParseSimplifiedXML(body)); set(t2, FNV(body)); …` naively
+    # runs one pandas UDF PER STATEMENT: the source column ships through
+    # Arrow once per converter, and read-only XML converters re-parse the
+    # same document. A run of consecutive literal-arg set() statements
+    # whose values are Python-backed converters of the SAME source column
+    # compiles to ONE struct-returning pandas UDF — one Arrow round-trip,
+    # one shared document parse for the read-only XML converters (mutating
+    # ones still parse their own copy), per-op semantics identical to the
+    # standalone wrappers (XML ops guard to None on error; hash ops never
+    # swallow exceptions, exactly like their ungated forms).
 
-    #: name -> ("doc" = takes a shared parsed _Doc, "str" = takes raw text)
-    _XML_FUSIBLE = {
-        "ParseXML": "str",  # builds its own ElementTree walk
-        "ParseSimplifiedXML": "doc",
-        "GetXML": "doc",
-        "RemoveXML": "str",
-        "InsertXML": "str",
-        "ConvertAttributesToElementsXML": "str",
-        "ConvertTextToElementsXML": "str",
-    }
+    @staticmethod
+    def _pyconv_registry():
+        """name -> (kind, row_fn, spark_type, guard_errors).
 
-    def _xml_set_spec(self, df: DataFrame, stmt: Statement):
+        kind: "doc" = takes the shared parsed _Doc; "str" = raw text.
+        row_fn replicates the standalone wrapper's per-value semantics.
+        """
+        from . import hashes as H
+        from . import xmlfuncs as X
+
+        def fnv_row(v):
+            h = H.fnv1a_64(str(v).encode())
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        def murmur_row(v):
+            return H.murmur3_32(str(v).encode()).to_bytes(4, "little").hex()
+
+        def murmur128_row(v):
+            h1, h2 = H.murmur3_x64_128(str(v).encode())
+            return h1.to_bytes(8, "little").hex() + h2.to_bytes(8, "little").hex()
+
+        def xxh3_row(v):
+            return H.xxh3_64(str(v).encode()).to_bytes(8, "big").hex()
+
+        def xxh128_row(v):
+            lo, hi = H.xxh3_128(str(v).encode())
+            return (hi << 64 | lo).to_bytes(16, "big").hex()
+
+        return {
+            "ParseXML": ("str", X.parse_xml_str, "string", True),
+            "ParseSimplifiedXML": ("doc", X.parse_simplified_from_doc, "string", True),
+            "GetXML": ("doc", X.get_xml_from_doc, "string", True),
+            "RemoveXML": ("str", X.remove_xml_str, "string", True),
+            "InsertXML": ("str", X.insert_xml_str, "string", True),
+            "ConvertAttributesToElementsXML": (
+                "str", X.convert_attributes_to_elements_str, "string", True),
+            "ConvertTextToElementsXML": (
+                "str", X.convert_text_to_elements_str, "string", True),
+            "FNV": ("str", fnv_row, "long", False),
+            "Murmur3Hash": ("str", murmur_row, "string", False),
+            "Murmur3Hash128": ("str", murmur128_row, "string", False),
+            "XXH3": ("str", xxh3_row, "string", False),
+            "XXH128": ("str", xxh128_row, "string", False),
+        }
+
+    def _pyconv_set_spec(self, df: DataFrame, stmt: Statement):
         """(target, source, fn_name, extra_args) when stmt is a fusible
-        literal-arg XML set() with no guard, else None."""
+        literal-arg Python-converter set() with no guard, else None."""
         ed = stmt.editor
         if (
             ed.name != "set"
@@ -1730,7 +1766,7 @@ class Compiler:
         ):
             return None
         val = ed.args[1]
-        if not isinstance(val, Call) or val.name not in self._XML_FUSIBLE:
+        if not isinstance(val, Call) or val.name not in self._pyconv_registry():
             return None
         if val.kwargs or not val.args or not isinstance(val.args[0], Path):
             return None
@@ -1748,25 +1784,18 @@ class Compiler:
             return None
         return (tgt, src, val.name, tuple(extras))
 
-    def _apply_xml_fused(self, df: DataFrame, specs: list[tuple]) -> DataFrame:
+    def _apply_pyconv_fused(self, df: DataFrame, specs: list[tuple]) -> DataFrame:
         import pandas as pd
 
         from . import xmlfuncs as X
 
         src = specs[0][1]
         ops = [(name, extras) for (_t, _s, name, extras) in specs]
-        impl = {
-            "ParseXML": X.parse_xml_str,
-            "ParseSimplifiedXML": X.parse_simplified_from_doc,
-            "GetXML": X.get_xml_from_doc,
-            "RemoveXML": X.remove_xml_str,
-            "InsertXML": X.insert_xml_str,
-            "ConvertAttributesToElementsXML": X.convert_attributes_to_elements_str,
-            "ConvertTextToElementsXML": X.convert_text_to_elements_str,
-        }
-        kinds = self._XML_FUSIBLE
+        reg = self._pyconv_registry()
         fields = [f"c{i}" for i in range(len(ops))]
-        rtype = "struct<" + ",".join(f"{f}:string" for f in fields) + ">"
+        rtype = "struct<" + ",".join(
+            f"{f}:{reg[name][2]}" for f, (name, _e) in zip(fields, ops)
+        ) + ">"
 
         # no type hints: `from __future__ import annotations` stringifies
         # them and pyspark's hint inference rejects the signature — explicit
@@ -1778,11 +1807,12 @@ class Compiler:
                 doc = None
                 doc_failed = False
                 for i, (name, extras) in enumerate(ops):
+                    kind, fn, _rt, guard = reg[name]
                     if v is None:
                         cols[i].append(None)
                         continue
                     try:
-                        if kinds[name] == "doc":
+                        if kind == "doc":
                             if name == "GetXML" and not v:
                                 cols[i].append("")  # get_xml_str("") == ""
                                 continue
@@ -1791,17 +1821,17 @@ class Compiler:
                                     doc = X._parse_doc(v)
                                 except (X.ET.ParseError, X.XMLArgError):
                                     doc_failed = True
-                            cols[i].append(
-                                None if doc_failed else impl[name](doc, *extras)
-                            )
+                            cols[i].append(None if doc_failed else fn(doc, *extras))
                         else:
-                            cols[i].append(impl[name](v, *extras))
+                            cols[i].append(fn(v, *extras))
                     except Exception:
+                        if not guard:
+                            raise
                         cols[i].append(None)
             return pd.DataFrame({f: c for f, c in zip(fields, cols)})
 
         fused = F.pandas_udf(_fused, rtype)
-        tmp = "_xml_fused_out"
+        tmp = "_pyconv_fused_out"
         df = df.withColumn(tmp, fused(F.col(src)))
         for i, (tgt, *_rest) in enumerate(specs):
             df = df.withColumn(tgt, F.col(tmp)[fields[i]])
@@ -1812,13 +1842,13 @@ class Compiler:
         i = 0
         while i < len(parsed):
             self.resolver.columns = set(df.columns)
-            spec = self._xml_set_spec(df, parsed[i])
+            spec = self._pyconv_set_spec(df, parsed[i])
             if spec is not None:
                 specs = [spec]
                 taken = {spec[0]}
                 j = i + 1
                 while j < len(parsed):
-                    sp = self._xml_set_spec(df, parsed[j])
+                    sp = self._pyconv_set_spec(df, parsed[j])
                     # same source, fresh target, and the source isn't a
                     # column this run already wrote
                     if sp is None or sp[1] != spec[1] or sp[0] in taken or sp[1] in taken:
@@ -1827,7 +1857,7 @@ class Compiler:
                     taken.add(sp[0])
                     j += 1
                 if len(specs) >= 2:
-                    df = self._apply_xml_fused(df, specs)
+                    df = self._apply_pyconv_fused(df, specs)
                     i = j
                     continue
             target = self._fuse_target(df, parsed[i])

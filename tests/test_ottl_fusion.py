@@ -147,3 +147,42 @@ def test_xml_converter_run_fuses_and_matches(spark):
     assert got == want
     assert got[0][1] is not None  # row 1 parsed
     assert all(v is None for v in got[1][1:])  # bad xml → all None
+
+
+def test_hash_converters_fuse_with_xml(spark):
+    """The generalized Python-converter fusion: XML + exact-hash set()
+    statements over one source share a single pandas UDF, with per-op
+    results identical to the standalone per-statement wrappers (including
+    the long-typed FNV)."""
+    stmts = [
+        "set(fnv, FNV(body))",
+        "set(m3, Murmur3Hash(body))",
+        "set(m128, Murmur3Hash128(body))",
+        "set(x3, XXH3(body))",
+        "set(x128, XXH128(body))",
+        "set(simplified, ParseSimplifiedXML(body))",
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, "<Log><Type>warn</Type></Log>"),
+            (2, "plain text, not xml"),
+            (3, None),
+        ],
+        "id long, body string",
+    )
+    c = Compiler(PathResolver(df))
+    fused = c.apply_all(df, stmts)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+
+    c2 = Compiler(PathResolver(df))
+    unfused = df
+    for s in stmts:
+        unfused = c2._apply_stmt(unfused, parse_statement(s))
+    cols = ["id", "fnv", "m3", "m128", "x3", "x128", "simplified"]
+    got = {r.id: tuple(r)[1:] for r in fused.select(cols).collect()}
+    want = {r.id: tuple(r)[1:] for r in unfused.select(cols).collect()}
+    assert got == want
+    assert isinstance(got[1][0], int)          # FNV stays long-typed
+    assert got[2][5] == "{}"                   # fragment-wrapped text → empty map
+    assert all(v is None for v in got[3])      # null input → all None
