@@ -1524,7 +1524,7 @@ class Compiler:
     _FUSIBLE_EDITORS = frozenset({
         "keep_keys", "keep_matching_keys", "delete_key", "delete_matching_keys",
         "truncate_all", "replace_all_matches", "replace_all_patterns",
-        "stringify_all",
+        "stringify_all", "merge_maps",
     })
 
     def _ast_refs(self, node, target: str) -> bool:
@@ -1578,6 +1578,15 @@ class Compiler:
         ed = stmt.editor
         dtypes = dict(df.dtypes)
         if ed.name in self._FUSIBLE_EDITORS:
+            if ed.name == "merge_maps":
+                # insert needs the CURRENT key set on the source side —
+                # the entries expression would be referenced twice outside
+                # a lazily-evaluated branch; keep it on the per-statement path
+                strategy = (
+                    _as_py(self.compile_value(ed.args[2])) if len(ed.args) > 2 else "upsert"
+                )
+                if strategy not in ("upsert", "update"):
+                    return None
             try:
                 target = self.resolver.column_name(ed.args[0])
             except Exception:
@@ -1662,6 +1671,22 @@ class Compiler:
             return F.transform(
                 cur, lambda e: F.struct(new_key(e).alias("key"), e["value"].alias("value"))
             )
+        if name == "merge_maps":
+            src = self._as_col(self.compile_value(ed.args[1]))
+            strategy = (
+                _as_py(self.compile_value(ed.args[2])) if len(ed.args) > 2 else "upsert"
+            )
+            if strategy == "update":
+                return value_xform(
+                    lambda e: F.coalesce(F.element_at(src, e["key"]), e["value"])
+                )
+            # upsert: drop overridden keys, append the source entries (same
+            # entry order as map_concat(filtered_target, src))
+            merged = F.concat(
+                F.filter(cur, lambda e: ~F.array_contains(F.map_keys(src), e["key"])),
+                F.map_entries(src),
+            )
+            return merged if cond is None else F.when(cond, merged).otherwise(cur)
         if name == "set":  # attributes-map upsert
             parts = list(ed.args[0].parts)
             if parts and parts[0] in ("log", "resource"):

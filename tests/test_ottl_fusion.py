@@ -29,8 +29,12 @@ def maps_df(spark):
         (4, 17, {"beta": "x", "gamma": "yyyyyyyy", "epsilon": "12345"}),
         (5, 13, None),
     ]
-    return spark.createDataFrame(
+    df = spark.createDataFrame(
         rows, "id long, severity_number int, attributes map<string,string>"
+    )
+    return df.withColumn(
+        "patch",
+        F.create_map(F.lit("alpha"), F.lit("PATCHED"), F.lit("new_key"), F.lit("nv")),
     )
 
 
@@ -66,6 +70,13 @@ CHAINS = [
         "limit(attributes, 2)",
         'set(attributes["z"], "9")',
         'delete_key(attributes, "a")',
+    ],
+    # merge_maps upsert/update fuse; insert falls back per-statement
+    [
+        'merge_maps(attributes, patch, "upsert")',
+        "truncate_all(attributes, 4)",
+        'merge_maps(attributes, patch, "update") where severity_number >= 13',
+        'merge_maps(attributes, patch, "insert")',
     ],
 ]
 
