@@ -221,8 +221,45 @@ def apply_processor(df: DataFrame, name: str, spec: dict) -> DataFrame:
                 df = ottl.transform_processor(df, [group], error_mode)
         return df
     if kind == "filter":
-        conds = (spec.get("logs") or {}).get("log_record", [])
+        # condition sections per signal (filterprocessor config): in the
+        # flat single-table model every section compiles the same way —
+        # OR'd OTTL conditions, match ⇒ drop
+        conds = list((spec.get("logs") or {}).get("log_record", []))
+        conds += list((spec.get("traces") or {}).get("span", []))
+        conds += list((spec.get("traces") or {}).get("spanevent", []))
+        conds += list((spec.get("metrics") or {}).get("metric", []))
+        conds += list((spec.get("metrics") or {}).get("datapoint", []))
         return ottl.filter_processor_ottl(df, conds)
+    if kind == "resourcedetection":
+        # resourcedetectionprocessor: detection happens ONCE on the driver,
+        # then merges as constant columns. Detectors implemented where the
+        # sandbox can answer faithfully: `env` (OTEL_RESOURCE_ATTRIBUTES
+        # k=v,k=v — internal/env/env.go), `system` (host.name + os.type),
+        # `static` (our extension: attributes given inline).
+        import os as _os
+        import platform as _platform
+
+        detected: dict[str, str] = {}
+        for det in spec.get("detectors", ["env"]):
+            if det == "env":
+                raw = _os.environ.get("OTEL_RESOURCE_ATTRIBUTES", "")
+                for pair in raw.split(","):
+                    if "=" in pair:
+                        k, v = pair.split("=", 1)
+                        detected[_field(k.strip()).replace(".", "_")] = v.strip()
+            elif det == "system":
+                import socket as _socket
+
+                detected["host_name"] = _socket.gethostname()
+                detected["os_type"] = _platform.system().lower()
+            elif det == "static":
+                for k, v in (spec.get("attributes") or {}).items():
+                    detected[_field(k).replace(".", "_")] = str(v)
+            else:
+                raise ValueError(f"unsupported resourcedetection detector {det!r}")
+        from ..operators.enrich import resource_detection
+
+        return resource_detection(df, detected, override=bool(spec.get("override")))
     if kind in ("attributes", "resource"):
         return processors.attributes_actions(
             df,

@@ -617,3 +617,32 @@ def test_traces_pipeline_in_config(spark):
     assert m["GET /a"] == (2, 1, 1, 0, 0)   # 30ms<=50, 80ms<=100
     assert m["GET /c"] == (1, 0, 0, 0, 1)   # 250ms > 200
     assert "GET /b" not in m  # sampled out upstream of the connector
+
+
+def test_resourcedetection_in_config(spark, config, monkeypatch):
+    """resourcedetectionprocessor: env detector reads OTEL_RESOURCE_ATTRIBUTES
+    (internal/env/env.go), static attributes merge, override=false keeps
+    pre-existing values."""
+    monkeypatch.setenv("OTEL_RESOURCE_ATTRIBUTES", "service.name=checkout, deployment.environment=prod")
+    cfg = dict(config)
+    cfg["processors"] = {
+        "resourcedetection": {
+            "detectors": ["env", "static"],
+            "attributes": {"cloud.region": "eu-west-1"},
+            "override": False,
+        }
+    }
+    cfg["service"] = {
+        "pipelines": {
+            "logs/in": {
+                "receivers": ["filelog"],
+                "processors": ["resourcedetection"],
+                "exporters": [],
+            }
+        }
+    }
+    t = load_collector_config(spark, cfg)
+    r = t.frames["logs/in"].first()
+    assert r.service_name == "checkout"
+    assert r.deployment_environment == "prod"
+    assert r.cloud_region == "eu-west-1"
