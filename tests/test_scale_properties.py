@@ -128,3 +128,40 @@ def test_recombine_two_phase_matches_global_window(spark):
     # (source, _bkt) — the hot source is spread across buckets
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "_bkt" in plan
+
+
+def test_contamination_plan_broadcasts_bench_grams(spark):
+    """benchmark_contamination's gram join must be a BroadcastHashJoin (the
+    benchmark side reduces to distinct 8-byte hashes) — a sort-merge join
+    here would shuffle the exploded training grams at 100 TB."""
+    from opentelemetry_collector_contrib_spark.operators import dedup
+
+    train = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('alpha beta gamma doc ', id, ' tail words here now') AS text"
+    )
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma doc 7 tail words here now")], "bid long, text string"
+    )
+    out = dedup.benchmark_contamination(train, bench, n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the gram-membership join itself is broadcast; only per-doc joins may
+    # merge — no sort-merge on the exploded gram stream
+    gram_section = plan.split("xxhash64")[0]
+    assert out.count() == 200  # every training doc scored
+
+
+def test_line_dedup_shuffles_hashes_not_text(spark):
+    """line_dedup's document-frequency aggregate groups on the 8-byte line
+    hash; the optimized plan must aggregate on _lh, never on the line text."""
+    from opentelemetry_collector_contrib_spark.operators import dedup
+
+    docs = spark.range(50).selectExpr(
+        "id AS doc_id", "concat('shared header', '\n', 'unique line ', id) AS text"
+    )
+    out = dedup.line_dedup(docs, max_line_df=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the DF aggregate's grouping key is the hash column
+    assert "_lh" in plan
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert all("shared header" not in t for t in got.values())
