@@ -260,6 +260,30 @@ def apply_processor(df: DataFrame, name: str, spec: dict) -> DataFrame:
         from ..operators.enrich import resource_detection
 
         return resource_detection(df, detected, override=bool(spec.get("override")))
+    if kind == "k8sattributes":
+        # k8sattributesprocessor (processor.go:202-285): pod metadata joined
+        # on the association key. The sandbox has no kubelet/API server, so
+        # the pod table comes from the config itself — `pod_metadata` (list
+        # of dicts, our extension) or `pod_metadata_path` (parquet) — and
+        # the association + set-if-absent merge semantics are the real ones
+        # (broadcast left join, nulls on association failure).
+        from ..operators.enrich import broadcast_lookup
+
+        assoc = _field(spec.get("pod_association_key", "k8s.pod.ip")).replace(".", "_")
+        rows = spec.get("pod_metadata")
+        path = spec.get("pod_metadata_path")
+        if rows:
+            dim = df.sparkSession.createDataFrame(
+                [{(_field(k).replace(".", "_")): v for k, v in r.items()} for r in rows]
+            )
+        elif path:
+            dim = df.sparkSession.read.parquet(path)
+        else:
+            raise ValueError(
+                "k8sattributes needs pod_metadata or pod_metadata_path "
+                "(no k8s API in this environment)"
+            )
+        return broadcast_lookup(df, dim, on=assoc, set_if_absent=True)
     if kind in ("attributes", "resource"):
         return processors.attributes_actions(
             df,

@@ -646,3 +646,38 @@ def test_resourcedetection_in_config(spark, config, monkeypatch):
     assert r.service_name == "checkout"
     assert r.deployment_environment == "prod"
     assert r.cloud_region == "eu-west-1"
+
+
+def test_k8sattributes_in_config(spark, config):
+    """k8sattributesprocessor: pod metadata (config-provided in this
+    environment) broadcast-joins on the association key; unmatched rows
+    keep nulls (association-failure path)."""
+    cfg = dict(config)
+    cfg["processors"] = {
+        "k8sattributes": {
+            "pod_association_key": "k8s.pod.name",
+            "pod_metadata": [
+                {"k8s.pod.name": "pod-a", "k8s.namespace.name": "prod",
+                 "k8s.node.name": "node-1"},
+            ],
+        }
+    }
+    # attach a pod name column derived from severity for the join
+    cfg["receivers"]["filelog"]["operators"] = list(
+        cfg["receivers"]["filelog"]["operators"]
+    ) + [{"type": "add", "field": "attributes.k8s_pod_name",
+          "value": "EXPR(When(sev == \"ERROR\", \"pod-a\", nil))"}]
+    cfg["service"] = {
+        "pipelines": {
+            "logs/in": {
+                "receivers": ["filelog"],
+                "processors": ["k8sattributes"],
+                "exporters": [],
+            }
+        }
+    }
+    t = load_collector_config(spark, cfg)
+    rows = {r.msg: r for r in t.frames["logs/in"].collect() if r.msg}
+    assert rows["boom in auth"].k8s_namespace_name == "prod"
+    assert rows["boom in auth"].k8s_node_name == "node-1"
+    assert rows["hello world"].k8s_namespace_name is None  # no association
