@@ -284,6 +284,48 @@ def apply_processor(df: DataFrame, name: str, spec: dict) -> DataFrame:
                 "(no k8s API in this environment)"
             )
         return broadcast_lookup(df, dim, on=assoc, set_if_absent=True)
+    if kind == "lookup":
+        # generic lookup processor (processor/lookupprocessor/config.go:36-76):
+        # dim table from inline rows or a parquet path, broadcast left join
+        from ..operators.enrich import broadcast_lookup
+
+        rows = spec.get("rows")
+        path = spec.get("table_path")
+        if rows:
+            dim = df.sparkSession.createDataFrame(
+                [{(_field(k).replace(".", "_")): v for k, v in r.items()} for r in rows]
+            )
+        elif path:
+            dim = df.sparkSession.read.parquet(path)
+        else:
+            raise ValueError("lookup needs rows or table_path")
+        on = spec.get("on") or spec.get("key")
+        keys = [on] if isinstance(on, str) else list(on or [])
+        if not keys:
+            raise ValueError("lookup needs an `on` key")
+        return broadcast_lookup(
+            df, dim, on=[_field(k).replace(".", "_") for k in keys],
+            set_if_absent=not spec.get("override", False),
+            prefix=spec.get("prefix", ""),
+        )
+    if kind == "geoip":
+        # geoipprocessor: the MMDB becomes an integer-interval ranges table
+        # (ip_lo, ip_hi, payload...) from `ranges_path` parquet or inline
+        # `ranges` rows; the broadcast non-equi join never shuffles the
+        # fact side
+        from ..operators.enrich import geoip_range_lookup
+
+        rows = spec.get("ranges")
+        path = spec.get("ranges_path")
+        if rows:
+            ranges = df.sparkSession.createDataFrame(rows)
+        elif path:
+            ranges = df.sparkSession.read.parquet(path)
+        else:
+            raise ValueError("geoip needs ranges or ranges_path")
+        return geoip_range_lookup(
+            df, _field(spec.get("ip_field", "ip")), ranges
+        )
     if kind in ("attributes", "resource"):
         return processors.attributes_actions(
             df,

@@ -681,3 +681,42 @@ def test_k8sattributes_in_config(spark, config):
     assert rows["boom in auth"].k8s_namespace_name == "prod"
     assert rows["boom in auth"].k8s_node_name == "node-1"
     assert rows["hello world"].k8s_namespace_name is None  # no association
+
+
+def test_lookup_and_geoip_in_config(spark, config):
+    """lookup (broadcast dim join) and geoip (broadcast range join) from
+    YAML with config-provided tables."""
+    cfg = dict(config)
+    cfg["processors"] = {
+        "lookup": {
+            "rows": [
+                {"sev": "ERROR", "oncall": "team-a"},
+                {"sev": "WARN", "oncall": "team-b"},
+            ],
+            "on": "sev",
+        },
+        "geoip": {
+            "ip_field": "client_ip",
+            "ranges": [
+                {"ip_lo": 167772160, "ip_hi": 184549375, "geo_country": "PRIVATE-10"},
+            ],
+        },
+    }
+    cfg["receivers"]["filelog"]["operators"] = list(
+        cfg["receivers"]["filelog"]["operators"]
+    ) + [{"type": "add", "field": "attributes.client_ip", "value": "10.1.2.3"}]
+    cfg["service"] = {
+        "pipelines": {
+            "logs/in": {
+                "receivers": ["filelog"],
+                "processors": ["lookup", "geoip"],
+                "exporters": [],
+            }
+        }
+    }
+    t = load_collector_config(spark, cfg)
+    rows = {r.msg: r for r in t.frames["logs/in"].collect() if r.msg}
+    assert rows["boom in auth"].oncall == "team-a"
+    assert rows["disk low"].oncall == "team-b"
+    assert rows["hello world"].oncall is None
+    assert rows["boom in auth"].geo_country == "PRIVATE-10"
