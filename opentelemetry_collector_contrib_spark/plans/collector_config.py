@@ -632,6 +632,24 @@ class TranslatedPipelines:
             elif kind == "awss3":
                 df.write.mode(mode).parquet(dest)
                 written[(pname, ex)] = dest
+            elif kind == "loadbalancing":
+                # loadbalancingexporter (config.go:17-53): consistent-hash
+                # assignment on the routing key; each "endpoint" becomes a
+                # hive partition so a downstream per-endpoint consumer reads
+                # exactly its stable slice (resolver.static.hostnames sets
+                # the ring size)
+                from ..operators.connectors import load_balancing_bucket
+
+                key = _field(
+                    (spec.get("routing_key") or "traceID").replace("traceID", "trace_id")
+                )
+                n = len(
+                    ((spec.get("resolver") or {}).get("static") or {}).get("hostnames")
+                    or [0] * int(spec.get("num_endpoints", 4))
+                )
+                out = load_balancing_bucket(df, key, n)
+                out.write.mode(mode).partitionBy("endpoint").parquet(dest)
+                written[(pname, ex)] = dest
             else:
                 raise ValueError(f"unsupported exporter {ex!r}")
         return written

@@ -10,6 +10,7 @@ config (route() where ... table), exporter file.
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from opentelemetry_collector_contrib_spark.plans.collector_config import (
     load_collector_config,
@@ -720,3 +721,34 @@ def test_lookup_and_geoip_in_config(spark, config):
     assert rows["disk low"].oncall == "team-b"
     assert rows["hello world"].oncall is None
     assert rows["boom in auth"].geo_country == "PRIVATE-10"
+
+
+def test_loadbalancing_exporter_in_config(spark, config, tmp_path):
+    """loadbalancingexporter: consistent-hash endpoint assignment becomes a
+    hive partition per endpoint; same key always lands on the same slice."""
+    import os
+
+    cfg = dict(config)
+    cfg["processors"] = {}
+    cfg["exporters"] = {
+        "loadbalancing": {
+            "routing_key": "sev",
+            "resolver": {"static": {"hostnames": ["be-1", "be-2", "be-3"]}},
+        }
+    }
+    cfg["service"] = {
+        "pipelines": {
+            "logs/in": {"receivers": ["filelog"], "exporters": ["loadbalancing"]}
+        }
+    }
+    t = load_collector_config(spark, cfg)
+    written = t.write(str(tmp_path))
+    dest = written[("logs/in", "loadbalancing")]
+    parts = sorted(d for d in os.listdir(dest) if d.startswith("endpoint="))
+    assert parts  # at least one endpoint slice materialized
+    back = spark.read.parquet(dest)
+    # deterministic assignment: one endpoint per severity key
+    per_key = back.filter("sev IS NOT NULL").groupBy("sev").agg(
+        F.count_distinct("endpoint").alias("n")
+    ).collect()
+    assert per_key and all(r.n == 1 for r in per_key)
