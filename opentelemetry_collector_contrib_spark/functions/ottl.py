@@ -373,19 +373,59 @@ class PathResolver:
     ``element_at(attributes, 'x')`` when an ``attributes`` MapType column
     exists. ``resource.attributes["k.e.y"]`` → column ``k_e_y``. Top-level
     names (body, severity_number, …) → same-named columns. Context prefixes
-    ``log.``/``resource.`` are accepted and stripped.
+    ``log.``/``resource.`` are accepted and stripped — UNLESS the frame has
+    a ``resource`` MapType column, in which case the model is two-store
+    like the reference's per-context pcommon.Map (transformprocessor
+    internal/common contexts): ``resource.attributes[...]`` reads/writes
+    the ``resource`` map, plain/log ``attributes[...]`` the record map.
     """
 
     def __init__(self, df: DataFrame | None = None, overrides: dict[str, str] | None = None):
         self.columns = set(df.columns) if df is not None else None
         self.has_attr_map = bool(df is not None and "attributes" in df.columns and
                                  df.schema["attributes"].dataType.typeName() == "map")
+        self.has_resource_map = bool(df is not None and "resource" in df.columns and
+                                     df.schema["resource"].dataType.typeName() == "map")
         self.dtypes = dict(df.dtypes) if df is not None else {}
         self.overrides = overrides or {}
+
+    def map_store(self, path) -> tuple[str, str] | None:
+        """(map_column, key) when ``path`` addresses one entry of a live
+        map-typed attribute store; None for flat/promoted columns."""
+        if not isinstance(path, Path):
+            return None
+        parts = list(path.parts)
+        if (
+            self.has_resource_map
+            and len(parts) == 3
+            and parts[0] == "resource"
+            and parts[1] == "attributes"
+            and isinstance(parts[2], tuple)
+        ):
+            return "resource", parts[2][1]
+        if parts and parts[0] in ("log", "resource", "span", "metric", "datapoint"):
+            parts = parts[1:]
+        if (
+            self.has_attr_map
+            and len(parts) == 2
+            and parts[0] == "attributes"
+            and isinstance(parts[1], tuple)
+        ):
+            name = self.column_name(path)
+            if self.columns is None or name not in self.columns:
+                return "attributes", parts[1][1]
+        return None
 
     def column_name(self, path: Path) -> str:
         """The flat column an assignment targets."""
         parts = list(path.parts)
+        if (
+            self.has_resource_map
+            and len(parts) == 2
+            and parts[0] == "resource"
+            and parts[1] == "attributes"
+        ):
+            return "resource"  # the whole resource attrs map (editor arg)
         if parts and parts[0] in ("log", "resource", "span", "metric", "datapoint"):
             parts = parts[1:]
         if not parts:
@@ -408,6 +448,13 @@ class PathResolver:
         while raw and isinstance(raw[-1], tuple) and raw[-1][0] == "idx":
             idx_suffix.insert(0, raw.pop()[1])
         path = Path(raw)
+        if self.has_resource_map:
+            ms = self.map_store(path)
+            if ms is not None and ms[0] == "resource":
+                col = F.element_at(F.col("resource"), ms[1])
+                for i in idx_suffix:
+                    col = F.element_at(col, i + 1)
+                return col
         name = self.column_name(path)
         if self.columns is not None and name not in self.columns:
             parts = list(path.parts)
@@ -1362,28 +1409,21 @@ class Compiler:
             return df.withColumn(target, F.when(cond, new).otherwise(old))
 
         if name == "set":
-            target = self.resolver.column_name(ed.args[0])
             value = self._as_col(self.compile_value(ed.args[1]))
-            # attributes["k"] with a live MapType attributes column and no
-            # promoted flat column ⇒ true map upsert (func_set.go on pcommon
-            # maps mutates the map, not a sibling field)
-            p = ed.args[0]
-            parts = list(p.parts) if isinstance(p, Path) else []
-            if parts and parts[0] in ("log", "resource"):
-                parts = parts[1:]
-            if (
-                len(parts) == 2
-                and parts[0] == "attributes"
-                and isinstance(parts[1], tuple)
-                and target not in df.columns
-                and dict(df.dtypes).get("attributes", "").startswith("map<")
-            ):
-                key = parts[1][1]
+            # attributes["k"] on a live MapType store with no promoted flat
+            # column ⇒ true map upsert (func_set.go on pcommon maps mutates
+            # the map, not a sibling field); map_store also routes
+            # resource.attributes["k"] to the `resource` map when the frame
+            # carries the two-store model
+            ms = self.resolver.map_store(ed.args[0]) if isinstance(ed.args[0], Path) else None
+            if ms is not None and dict(df.dtypes).get(ms[0], "").startswith("map<"):
+                mcol, key = ms
                 upserted = F.map_concat(
-                    F.map_filter(F.col("attributes"), lambda k, v: k != key),
+                    F.map_filter(F.col(mcol), lambda k, v: k != key),
                     F.create_map(F.lit(key), value.cast("string")),
                 )
-                return guarded("attributes", upserted)
+                return guarded(mcol, upserted)
+            target = self.resolver.column_name(ed.args[0])
             return guarded(target, value)
         if name in ("delete_key", "delete_matching_keys", "keep_matching_keys", "keep_keys"):
             target = self.resolver.column_name(ed.args[0])
@@ -1552,25 +1592,15 @@ class Compiler:
             return any(self._ast_refs(x, target) for x in node.values())
         return False
 
-    def _map_upsert_key(self, df: DataFrame, ed: Call) -> str | None:
-        """The map key when `ed` is the attributes-map-upsert form of set()
+    def _map_upsert_spec(self, df: DataFrame, ed: Call) -> tuple[str, str] | None:
+        """(map_column, key) when `ed` is the map-upsert form of set()
         (same detection as _apply_stmt), else None."""
         if ed.name != "set" or len(ed.args) != 2 or not isinstance(ed.args[0], Path):
             return None
-        parts = list(ed.args[0].parts)
-        if parts and parts[0] in ("log", "resource"):
-            parts = parts[1:]
-        if not (len(parts) == 2 and parts[0] == "attributes" and isinstance(parts[1], tuple)):
+        ms = self.resolver.map_store(ed.args[0])
+        if ms is None or not dict(df.dtypes).get(ms[0], "").startswith("map<"):
             return None
-        try:
-            target = self.resolver.column_name(ed.args[0])
-        except Exception:
-            return None
-        if target in df.columns:
-            return None
-        if not dict(df.dtypes).get("attributes", "").startswith("map<"):
-            return None
-        return parts[1][1]
+        return ms
 
     def _fuse_target(self, df: DataFrame, stmt: Statement) -> str | None:
         """The map column this statement rewrites per-entry, or None if the
@@ -1595,11 +1625,12 @@ class Compiler:
                 return None
             config_args = ed.args[1:]
         elif ed.name == "set":
-            if self._map_upsert_key(df, ed) is None:
+            ms = self._map_upsert_spec(df, ed)
+            if ms is None:
                 return None
-            if not dtypes.get("attributes", "").startswith("map<string,string>"):
+            target = ms[0]
+            if not dtypes.get(target, "").startswith("map<string,string>"):
                 return None
-            target = "attributes"
             config_args = ed.args[1:]
         else:
             return None
@@ -1607,8 +1638,9 @@ class Compiler:
             return None
         if any(self._ast_refs(a, target) for a in config_args):
             return None
-        if any(self._ast_refs(a, target) for a in self.global_guard_asts):
-            return None
+        # (the statement-group guard is materialized once per record into a
+        # temp boolean column by transform_processor, so it can never observe
+        # this run's mutations — no fusion refusal needed for it)
         return target
 
     def _fused_entry_step(self, cur: Column, ed: Call, cond: Column | None) -> Column:
@@ -1915,21 +1947,30 @@ def transform_processor(
     """transformprocessor analog: ordered OTTL statement group over logs.
 
     ``conditions`` is the statement group's guard list (logs.go:97-116):
-    the conditions are OR'd and a record must satisfy the disjunction for
-    ANY statement in the group to apply — compiled here as an extra
-    conjunct on every statement's ``where``.
+    the conditions are OR'd and, like the reference, the disjunction is
+    evaluated ONCE per record against pre-group state — materialized into a
+    temp boolean column before any statement runs — then ANDed into every
+    statement's ``where``. A group whose condition reads a field its own
+    statements rewrite still executes the full sequence for records that
+    matched on entry (reference evaluates the guard before the sequence,
+    logs.go:40-46).
 
     Reference: ``processor/transformprocessor/internal/common/logs.go:32-122``.
     """
     c = Compiler(PathResolver(df, overrides), error_mode)
+    if not conditions:
+        return c.apply_all(df, statements)
     guard = None
-    for s in conditions or []:
+    for s in conditions:
         node = parse_condition(s)
         c.global_guard_asts.append(node)
         col = c._as_col(c.compile_value(node))
         guard = col if guard is None else (guard | col)
-    c.global_guard = guard
-    return c.apply_all(df, statements)
+    gcol = "__ottl_group_guard"
+    # null guard result keeps prior semantics: when(null, x) -> otherwise
+    df = df.withColumn(gcol, F.coalesce(guard, F.lit(False)))
+    c.global_guard = F.col(gcol)
+    return c.apply_all(df, statements).drop(gcol)
 
 
 def filter_processor_ottl(

@@ -416,9 +416,15 @@ def line_dedup(
     Docs whose every line was boilerplate come back with empty text rather
     than vanishing.
     """
+    import re as _re
+
     other_cols = [c for c in df.columns if c != text_col]
+    # split() takes a Java regex but concat_ws rebuilds with the literal
+    # separator — escape it so metachar separators (".", "|", "\r\n")
+    # split literally and round-trip
     lines = df.select(
-        *other_cols, F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line")
+        *other_cols,
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("_pos", "_line"),
     )
     lines = lines.withColumn("_lh", F.xxhash64("_line"))
     judged = F.length("_line") >= min_line_chars
@@ -468,7 +474,13 @@ def canonicalize_url(
     rest = F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     rest = F.regexp_replace(rest, r"#.*$", "")  # fragment never reaches servers
     hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
-    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    # a default port is only redundant for ITS scheme: https://host:80 is a
+    # different origin from https://host and must survive canonicalization
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
     path = F.regexp_extract(rest, r"^[^/?]+([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(
         F.regexp_replace(path, r"(.)/$", "$1")
@@ -478,7 +490,10 @@ def canonicalize_url(
         F.split(query, "&"),
         lambda p: (p != "")
         & ~F.lower(F.regexp_extract(p, r"^([^=]*)", 1)).rlike(
-            "^(" + "|".join(["utm_[a-z]+", "fbclid", "gclid", "ref"] + [
+            # NOTE: `ref` is deliberately NOT stripped by default — it is
+            # frequently content-bearing (code-hosting refs); callers opt in
+            # via strip_params
+            "^(" + "|".join(["utm_[a-z]+", "fbclid", "gclid"] + [
                 __import__("re").escape(e) for e in extra
             ]) + ")$"
         ),

@@ -3,17 +3,26 @@
 For a 100 TB training pipeline the engine treats media as ``binary`` columns
 with a typed metadata struct, processed by Arrow-batched ``mapInPandas``
 stages. The Spark-side plumbing here — schemas, batch iteration, partition
-sizing, UDF signatures — is real and tested; the codec calls themselves are
-STUBBED (``decode_fn`` defaults to a deterministic fake) because no
-image/audio libraries exist in this container. Swap ``decode_fn`` for a
-PIL/libav call in production; nothing else changes.
+sizing, UDF signatures — is real and tested. Codec status (r4):
+
+- **BMP (24-bit uncompressed) and WAV (PCM16) are REAL dependency-free
+  codecs** (`decode_bmp`/`encode_bmp`, `decode_wav`/`encode_wav`, stdlib
+  struct + numpy): the default ``decode_fn`` sniffs magic bytes and
+  decodes these end-to-end, and `resize_images` really resamples BMP
+  pixels (nearest neighbor) and re-encodes.
+- Formats needing external libraries (png/jpeg/opus/h264) remain STUBBED
+  behind the deterministic fake — no image/audio libs exist in this
+  container. Swap ``decode_fn`` for a PIL/libav call in production;
+  nothing else changes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -46,6 +55,111 @@ def _fake_decode(payload: bytes, meta) -> list[float]:
     return [b / 255.0 for b in h[:8]]
 
 
+# --------------------------------------------------------------- real codecs
+# Dependency-free BMP (24-bit uncompressed) and WAV (PCM16) — the two classic
+# formats whose containers are simple enough to parse with struct alone.
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(h, w, 3) RGB uint8 → 24-bit uncompressed bottom-up BMP bytes."""
+    h, w, _ = px.shape
+    row = (w * 3 + 3) & ~3
+    data_size = row * h
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + data_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    buf = bytearray(hdr + info)
+    bgr = px[::-1, :, ::-1]  # bottom-up row order, BGR channel order
+    pad = bytes(row - w * 3)
+    for r in bgr:
+        buf += r.tobytes() + pad
+    return bytes(buf)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """BMP bytes → (width, height, (h, w, 3) RGB uint8). 24-bit uncompressed
+    only (top-down negative-height variant handled)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    _hsz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BMP is supported")
+    bottom_up = h > 0
+    h = abs(h)
+    row = (w * 3 + 3) & ~3
+    arr = (
+        np.frombuffer(payload, np.uint8, count=row * h, offset=off)
+        .reshape(h, row)[:, : w * 3]
+        .reshape(h, w, 3)
+    )
+    px = arr[:, :, ::-1]  # BGR → RGB
+    if bottom_up:
+        px = px[::-1]
+    return w, h, np.ascontiguousarray(px)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM16 bytes."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """WAV bytes → (channels, sample_rate, int16 sample array). PCM16 only;
+    walks RIFF chunks so extra chunks (LIST, fact) don't break the parse."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("only PCM16 WAV is supported")
+    return ch, rate, np.frombuffer(data, "<i2")
+
+
+def real_decode(payload: bytes, meta) -> list[float]:
+    """Default decode_fn: REAL decode for BMP/WAV (magic-byte sniff), the
+    deterministic fake for formats that need external codecs.
+
+    BMP features: [w, h, mean R/G/B, std, min, max] (pixel stats /255).
+    WAV features: [n_samples, rate, mean, std, min, max, zero-crossings, rms]
+    (sample stats /32768)."""
+    if payload[:2] == b"BM":
+        w, h, px = decode_bmp(payload)
+        f = px.reshape(-1, 3).astype(np.float64) / 255.0
+        return [
+            float(w), float(h),
+            float(f[:, 0].mean()), float(f[:, 1].mean()), float(f[:, 2].mean()),
+            float(f.std()), float(f.min()), float(f.max()),
+        ]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        _ch, rate, s = decode_wav(payload)
+        f = s.astype(np.float64) / 32768.0
+        zc = int(np.count_nonzero(np.diff(np.signbit(f)))) if len(f) > 1 else 0
+        return [
+            float(len(s)), float(rate),
+            float(f.mean()), float(f.std()), float(f.min()), float(f.max()),
+            float(zc), float(np.sqrt((f * f).mean())) if len(f) else 0.0,
+        ]
+    return _fake_decode(payload, meta)
+
+
 def extract_features(
     df: DataFrame,
     decode_fn: Callable[[bytes, object], list[float]] | None = None,
@@ -59,7 +173,7 @@ def extract_features(
     set spark.sql.execution.arrow.maxRecordsPerBatch accordingly or
     repartition so ~128MB of payload lands per task.
     """
-    decode = decode_fn or _fake_decode
+    decode = decode_fn or real_decode
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.StringType(), False),
@@ -85,17 +199,27 @@ def extract_features(
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stage — stubbed codec, real plumbing.
+    """Image resize stage.
 
-    Raises NotImplementedError per row ONLY when actually executed against
-    real payloads without a codec; the default fake passes bytes through and
-    rewrites meta, which keeps the stage testable.
+    BMP payloads are REALLY resampled (nearest neighbor, numpy index
+    mapping) and re-encoded; other formats pass bytes through and only
+    rewrite meta (codec stub — see module docstring). Plumbing (schema
+    preservation, per-batch iteration) is shared by both paths.
     """
     out_schema = df.schema
+
+    def _resize_one(payload: bytes) -> bytes:
+        if payload[:2] != b"BM":
+            return payload  # non-BMP: stubbed passthrough
+        _w, _h, px = decode_bmp(payload)
+        ys = (np.arange(height) * _h // height).clip(0, _h - 1)
+        xs = (np.arange(width) * _w // width).clip(0, _w - 1)
+        return encode_bmp(px[ys][:, xs])
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
+            pdf["payload"] = [_resize_one(p) for p in pdf["payload"]]
             pdf["meta"] = [
                 {"width": width, "height": height, "duration_ms": m["duration_ms"] if m else None,
                  "codec": (m["codec"] if m else None)}
@@ -121,24 +245,31 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests."""
-    import numpy as np
-
+    """Deterministic media table for tests: image rows are REAL 24-bit BMPs
+    (16×12 random pixels), audio rows REAL PCM16 WAVs (8 kHz, 250 ms), video
+    rows opaque bytes (codec stubbed)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         mt = ["image", "audio", "video"][i % 3]
-        payload = bytes(rng.integers(0, 256, size=64, dtype=np.uint8))
+        if mt == "image":
+            payload = encode_bmp(rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8))
+        elif mt == "audio":
+            payload = encode_wav(
+                rng.integers(-20000, 20000, size=2000, dtype=np.int16), rate=8000
+            )
+        else:
+            payload = bytes(rng.integers(0, 256, size=64, dtype=np.uint8))
         rows.append(
             {
                 "doc_id": f"m-{i:06d}",
                 "media_type": mt,
                 "payload": payload,
                 "meta": {
-                    "width": 64 if mt == "image" else None,
-                    "height": 64 if mt == "image" else None,
-                    "duration_ms": 3000 if mt != "image" else None,
-                    "codec": {"image": "png", "audio": "opus", "video": "h264"}[mt],
+                    "width": 16 if mt == "image" else None,
+                    "height": 12 if mt == "image" else None,
+                    "duration_ms": 250 if mt == "audio" else (3000 if mt == "video" else None),
+                    "codec": {"image": "bmp", "audio": "wav", "video": "h264"}[mt],
                 },
             }
         )

@@ -475,11 +475,50 @@ _RFC3164_RE = (
     r"^<(?P<priority>\d{1,3})>(?P<ts>[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) "
     r"(?P<hostname>\S+) (?P<appname>[^:\[ ]+)(?:\[(?P<pid>\d+)\])?: ?(?P<message>.*)$"
 )
+# one SD-ELEMENT, escape-aware: ']' inside a param value is written '\]' per
+# RFC5424 §6.3.3, so the element body is runs of non-']'/non-'\' chars broken
+# by escape pairs
+_SD_ELEM_RX = r"\[[^\]\\]*(?:\\.[^\]\\]*)*\]"
 _RFC5424_RE = (
     r"^<(?P<priority>\d{1,3})>(?P<version>\d) (?P<ts>\S+) (?P<hostname>\S+) "
     r"(?P<appname>\S+) (?P<procid>\S+) (?P<msgid>\S+) "
-    r"(?P<structured>-|\[.*?\]) ?(?P<message>.*)$"
+    r"(?P<structured>-|(?:" + _SD_ELEM_RX + r")+) ?(?P<message>.*)$"
 )
+
+
+def parse_structured_data(col: Column) -> Column:
+    """RFC5424 STRUCTURED-DATA → ``map<sd_id, map<param, value>>``.
+
+    The reference parses SD elements into nested attribute maps
+    (``operator/parser/syslog/parser.go:115`` via go-syslog's SD rules);
+    the raw ``[id k="v" ...]`` capture alone loses those fields. Pure
+    Column expressions: extract elements (escape-aware), split each into
+    id + ``k="v"`` params, unescape ``\\" \\] \\\\`` in values, assemble
+    with map_from_entries. NILVALUE ``-`` (and empty/null) → null map.
+    """
+    elems = F.regexp_extract_all(col, F.lit(r"\[([^\]\\]*(?:\\.[^\]\\]*)*)\]"), 1)
+    param_rx = r'[^\s=\]"]+="[^"\\]*(?:\\.[^"\\]*)*"'
+
+    def _entry(e: Column) -> Column:
+        sd_id = F.regexp_extract(e, r"^(\S+)", 1)
+        params = F.regexp_extract_all(e, F.lit("(" + param_rx + ")"), 1)
+        kv = F.transform(
+            params,
+            lambda p: F.struct(
+                F.regexp_extract(p, r"^([^=]+)=", 1).alias("key"),
+                F.regexp_replace(
+                    F.regexp_extract(p, r'^[^=]+="(.*)"$', 1),
+                    r'\\([\\"\]])',
+                    r"$1",
+                ).alias("value"),
+            ),
+        )
+        return F.struct(sd_id.alias("key"), F.map_from_entries(kv).alias("value"))
+
+    return F.when(
+        col.isNotNull() & (col != "-") & (col != ""),
+        F.map_from_entries(F.transform(elems, _entry)),
+    )
 
 
 def syslog_parser(
@@ -503,6 +542,9 @@ def syslog_parser(
     df = df.withColumn("severity_number", F.coalesce(chain, F.lit(0)).cast("int"))
     df = df.withColumn("facility", (pri / 8).cast("int"))
     if protocol == "rfc5424":
+        df = df.withColumn(
+            "structured_data", parse_structured_data(F.col("structured"))
+        )
         df = time_parser(df, "ts", "timestamp", "%Y-%m-%dT%H:%M:%S.%fZ")
         df = df.withColumn(
             "timestamp",

@@ -158,10 +158,11 @@ def drain_processor(
 
     Falls back to the partition-local templates (identity merge) if the
     template set exceeds ``max_templates`` — a guard against unbounded
-    driver state on pathological corpora, reported via a warning column
-    rather than silence.
+    driver state on pathological corpora, reported via a
+    ``<template_attribute>_merge_skipped`` warning column (always present,
+    so the schema does not depend on the data) rather than silence.
     """
-    import pandas as pd
+    import pandas as pd  # noqa: F401 — mapInPandas batch type
 
     from pyspark.sql import types as T
 
@@ -177,23 +178,43 @@ def drain_processor(
             pdf["_local_tpl"] = [" ".join(tree.fit(x)["tokens"]) for x in texts]
             yield pdf
 
-    staged = df.mapInPandas(annotate, out_schema)
+    # persist: the annotate pass is order-sensitive per partition, so it must
+    # run ONCE — the distinct-collect below and the final join must see the
+    # same local templates (an unpersisted recompute could emit templates
+    # absent from the mapping → NULLs after the join)
+    staged = df.mapInPandas(annotate, out_schema).persist()
+    warn_col = f"{template_attribute}_merge_skipped"
 
     # merge pass: Drain over the distinct local templates (deterministic:
     # sorted input), then broadcast the local→merged mapping back
     local = [r[0] for r in staged.select("_local_tpl").distinct().limit(max_templates + 1).collect()]
     if len(local) > max_templates:
-        merged_map = {t: t for t in local}
-    else:
-        tree = DrainTree(depth=depth, st=st, max_children=max_children)
-        fits = {t: tree.fit(t) for t in sorted(local)}
-        merged_map = {t: " ".join(c["tokens"]) for t, c in fits.items()}
+        # over-limit: no join at all (a truncated mapping would NULL every
+        # template beyond the cap) — the local template IS the annotation
+        return (
+            staged.withColumnRenamed("_local_tpl", template_attribute)
+            .withColumn(warn_col, F.lit(True))
+        )
+    if not local:  # empty input: nothing to merge (createDataFrame([]) would throw)
+        return (
+            staged.withColumnRenamed("_local_tpl", template_attribute)
+            .withColumn(warn_col, F.lit(False))
+        )
+    tree = DrainTree(depth=depth, st=st, max_children=max_children)
+    fits = {t: tree.fit(t) for t in sorted(local)}
+    merged_map = {t: " ".join(c["tokens"]) for t, c in fits.items()}
     mapping = spark.createDataFrame(
         list(merged_map.items()), ["_local_tpl", template_attribute]
     )
     return (
         staged.join(F.broadcast(mapping), on="_local_tpl", how="left")
+        # belt-and-braces: a local template can never miss the mapping (staged
+        # is persisted), but degrade to the local template rather than NULL
+        .withColumn(
+            template_attribute, F.coalesce(template_attribute, "_local_tpl")
+        )
         .drop("_local_tpl")
+        .withColumn(warn_col, F.lit(False))
     )
 
 

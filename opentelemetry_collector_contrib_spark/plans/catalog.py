@@ -400,51 +400,41 @@ GROUP BY l_returnflag, l_linestatus
 # --------------------------------------------------------------- metric algebra
 
 def q_cumulative_to_delta(spark, sf_dir):
-    """cumulativetodelta (processor.go:93-116): per-series value - lag."""
+    """cumulativetodelta + deltatocumulative in ONE row (processor.go:93-116
+    / 188-200): per-series value-lag delta AND the per-user running sum —
+    both operators exercised, joined on the unique event_id (merged r4 to
+    free a catalog slot for the training-data operators)."""
     from ..operators import metrics
 
     df = _t(spark, sf_dir, "events").withColumn(
         "value", F.col("value").cast("decimal(18,2)")
     )
-    out = metrics.cumulative_to_delta(df, ["user_id", "event_type"], "event_id", "value")
-    return out.select(
+    delta = metrics.cumulative_to_delta(df, ["user_id", "event_type"], "event_id", "value")
+    cum = metrics.delta_to_cumulative(df, ["user_id"], "event_id", "value")
+    return delta.select(
         "event_id", "user_id", "event_type",
         (F.col("delta") * 100).cast("bigint").alias("delta_cents"),
+    ).join(
+        cum.select(
+            "event_id",
+            (F.col("cumulative") * 100).cast("bigint").alias("cumulative_cents"),
+        ),
+        "event_id",
     )
 
 
 SQL_CUMULATIVE_TO_DELTA = """
 WITH s AS (
   SELECT event_id, user_id, event_type, CAST(value AS DECIMAL(18,2)) AS value,
-         lag(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS prev
+         lag(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS prev,
+         SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
+                                                 ROWS UNBOUNDED PRECEDING) AS cum
   FROM events
 )
 SELECT event_id, user_id, event_type,
-       CAST((value - prev) * 100 AS BIGINT) AS delta_cents
+       CAST((value - prev) * 100 AS BIGINT) AS delta_cents,
+       CAST(cum * 100 AS BIGINT) AS cumulative_cents
 FROM s WHERE prev IS NOT NULL
-"""
-
-
-def q_delta_to_cumulative(spark, sf_dir):
-    """deltatocumulative (processor.go:188-200): per-series running sum."""
-    from ..operators import metrics
-
-    df = _t(spark, sf_dir, "events").withColumn(
-        "value", F.col("value").cast("decimal(18,2)")
-    )
-    out = metrics.delta_to_cumulative(df, ["user_id"], "event_id", "value")
-    return out.select(
-        "event_id", "user_id",
-        (F.col("cumulative") * 100).cast("bigint").alias("cumulative_cents"),
-    )
-
-
-SQL_DELTA_TO_CUMULATIVE = """
-SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(18,2)))
-            OVER (PARTITION BY user_id ORDER BY event_id
-                  ROWS UNBOUNDED PRECEDING) * 100 AS BIGINT) AS cumulative_cents
-FROM events
 """
 
 
@@ -479,26 +469,125 @@ FROM s WHERE rn = 1
 # ------------------------------------------------------- training-data dedup
 
 def q_exact_dedup(spark, sf_dir):
-    """Exact dedup + document fingerprinting in one pass: hash-groupBy on the
-    raw content hash, keep lowest doc_id, carry the fingerprint (md5 over the
-    whitespace-normalized lowered prefix — rolling-hash analog, portable
-    across engines). Fingerprint is a function of text, so grouping by both
-    keys preserves the exact-dedup groups."""
+    """Exact dedup + fingerprint + canonical-URL dedup key in one row.
+
+    Content branch: hash-groupBy on md5(text) plus the whitespace-normalized
+    prefix fingerprint (rolling-hash analog, portable across engines). URL
+    branch (r4, folds canonicalize_url into a driver row): every doc gets a
+    deterministic messy crawl URL — uppercase scheme/host, https default
+    port, fragment, utm param, unsorted query — and the grouping counts docs
+    per CANONICAL url, proving the full normalization chain (lowering, port
+    strip, param strip+sort, slash trim). One unioned frame keyed by `kind`;
+    the oracle constructs the expected canonical string independently."""
     df = _t(spark, sf_dir, "documents")
     norm = F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 128)
-    return (
+    content = (
         df.groupBy(
-            F.md5("text").alias("content_hash"), F.md5(norm).alias("fingerprint")
+            F.md5("text").alias("dedup_key"), F.md5(norm).alias("fingerprint")
         )
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .withColumn("kind", F.lit("content"))
     )
+    url = F.format_string(
+        "HTTPS://Crawl.%s.COM:443/en/p%d/?utm_source=feed&b=2&a=1#frag",
+        F.col("source"), (F.col("doc_id") % 3).cast("int"),
+    )
+    urls = (
+        df.withColumn("_u", dedup.canonicalize_url(url))
+        .groupBy(F.col("_u").alias("dedup_key"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .withColumn("fingerprint", F.lit(""))
+        .withColumn("kind", F.lit("url"))
+    )
+    return content.unionByName(urls)
 
 
 SQL_EXACT_DEDUP = r"""
-SELECT md5(text) AS content_hash,
+SELECT md5(text) AS dedup_key,
        md5(substr(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 128)) AS fingerprint,
-       min(doc_id) AS keep_id, count(*) AS n_copies
+       min(doc_id) AS keep_id, count(*) AS n_copies, 'content' AS kind
 FROM documents GROUP BY 1, 2
+UNION ALL
+SELECT printf('https://crawl.%s.com/en/p%d?a=1&b=2', lower(source), CAST(doc_id % 3 AS INT)) AS dedup_key,
+       '' AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies, 'url' AS kind
+FROM documents GROUP BY 1
+"""
+
+
+def q_line_dedup(spark, sf_dir):
+    """line_dedup (C4/RefinedWeb boilerplate-line removal pass): documents
+    re-lined into 3-word lines (the synthetic corpus's small vocabulary makes
+    3-word lines repeat across docs, like boilerplate does), lines occurring
+    in MORE than 2 distinct docs dropped, docs rebuilt in original order —
+    all-boilerplate docs come back empty rather than vanishing."""
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"(\S+ \S+ \S+) ", "$1\n").alias("text"),
+    )
+    out = dedup.line_dedup(df, max_line_df=2)
+    return out.select("doc_id", "text", "n_lines_kept")
+
+
+SQL_LINE_DEDUP = r"""
+WITH lined AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'), chr(10)) AS l
+  FROM documents
+),
+ln AS (SELECT doc_id, unnest(l) AS line, unnest(range(1, len(l)+1)) AS pos FROM lined),
+hot AS (
+  SELECT line FROM ln WHERE length(line) >= 1
+  GROUP BY line HAVING count(DISTINCT doc_id) > 2
+),
+kept AS (SELECT * FROM ln ANTI JOIN hot USING (line)),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.text, '') AS text,
+       coalesce(r.n_lines_kept, 0) AS n_lines_kept
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_benchmark_contamination(spark, sf_dir):
+    """benchmark_contamination (GPT-3-style n-gram decontamination, Brown et
+    al. 2020 appendix C): benchmark = the first 12 words of every 17th doc;
+    per-train-doc fraction of word 8-grams present anywhere in the benchmark
+    gram set. The oracle recomputes with gram STRINGS — hash-set membership
+    is string-set membership modulo negligible 64-bit collisions."""
+    df = _t(spark, sf_dir, "documents")
+    bench = df.filter(F.col("doc_id") % 17 == 0).select(
+        F.regexp_extract(F.lower("text"), r"^(\S+(?: \S+){11})", 1).alias("text")
+    )
+    out = dedup.benchmark_contamination(df, bench, n=8, min_overlap=0.1)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        F.round("overlap", 4).alias("overlap"),
+        "contaminated",
+    )
+
+
+SQL_BENCHMARK_CONTAMINATION = r"""
+WITH words AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+tg AS (SELECT doc_id, unnest(rs) AS i, w
+       FROM (SELECT doc_id, w, range(1, greatest(len(w)-7, 1)+1) AS rs FROM words)),
+grams AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM tg GROUP BY 1, 2),
+bench AS (SELECT regexp_extract(lower(text), '^(\S+(?: \S+){11})', 1) AS btext
+          FROM documents WHERE doc_id % 17 = 0),
+bw AS (SELECT string_split_regex(btext, '\s+') AS w FROM bench),
+btg AS (SELECT unnest(rs) AS i, w
+        FROM (SELECT w, range(1, greatest(len(w)-7, 1)+1) AS rs FROM bw)),
+bgrams AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram FROM btg),
+ng AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+h AS (SELECT g.doc_id, count(*) AS n_hit FROM grams g JOIN bgrams b USING (gram) GROUP BY 1)
+SELECT ng.doc_id, ng.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+       round(coalesce(h.n_hit, 0) / greatest(ng.n_grams, 1), 4) AS overlap,
+       (coalesce(h.n_hit, 0) / greatest(ng.n_grams, 1)) >= 0.1 AS contaminated
+FROM ng LEFT JOIN h USING (doc_id)
 """
 
 
@@ -683,25 +772,32 @@ def q_syslog_parser(spark, sf_dir):
 
     Both branches parse the same events table and union on a normalized
     schema (proto, ids, severity/facility, header fields, formatted ts)."""
-    # --- RFC5424 branch
+    # --- RFC5424 branch (with STRUCTURED-DATA: two SD elements per line,
+    # parsed into the nested map and surfaced as flat compared columns)
     pri = F.when(F.col("event_type") == "error", 11).otherwise(14)
     df = _t(spark, sf_dir, "events").withColumn(
         "body",
         F.format_string(
-            "<%s>1 %s host-%s app-%s %s ID47 - boom %s",
+            '<%s>1 %s host-%s app-%s %s ID47 [ex@32473 eid="%s" src="%s"][meta seq="%s"] boom %s',
             pri,
             F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
             (F.col("user_id") % 5).cast("int"),
-            F.col("event_type"), F.col("event_id"), F.col("event_id"),
+            F.col("event_type"), F.col("event_id"),
+            F.col("event_id"), F.col("event_type"), F.col("user_id"),
+            F.col("event_id"),
         ),
     )
     df = parsers.syslog_parser(df, "body", protocol="rfc5424")
+    sd = F.col("structured_data")
     a = df.select(
         F.lit("rfc5424").alias("proto"),
         "event_id", "severity_number", "facility", "hostname", "appname",
         F.lit(None).cast("bigint").alias("pid"),
         F.col("message").alias("message"),
         F.unix_micros("timestamp").cast("string").alias("ts_str"),
+        F.element_at(F.element_at(sd, "ex@32473"), "eid").alias("sd_eid"),
+        F.element_at(F.element_at(sd, "ex@32473"), "src").alias("sd_src"),
+        F.element_at(F.element_at(sd, "meta"), "seq").alias("sd_seq"),
     )
 
     # --- RFC3164 branch
@@ -727,6 +823,9 @@ def q_syslog_parser(spark, sf_dir):
         F.col("pid").cast("bigint").alias("pid"),
         F.col("message").alias("message"),
         F.date_format("timestamp", "MM-dd HH:mm:ss").alias("ts_str"),
+        F.lit(None).cast("string").alias("sd_eid"),
+        F.lit(None).cast("string").alias("sd_src"),
+        F.lit(None).cast("string").alias("sd_seq"),
     )
     return a.unionByName(b)
 
@@ -734,15 +833,16 @@ def q_syslog_parser(spark, sf_dir):
 SQL_SYSLOG_PARSER = """
 WITH lines AS (
   SELECT event_id,
-         printf('<%d>1 %s host-%d app-%s %d ID47 - boom %d',
+         printf('<%d>1 %s host-%d app-%s %d ID47 [ex@32473 eid="%d" src="%s"][meta seq="%d"] boom %d',
                 CASE WHEN event_type = 'error' THEN 11 ELSE 14 END,
                 strftime(ts, '%Y-%m-%dT%H:%M:%SZ'),
-                user_id % 5, event_type, event_id, event_id) AS body
+                user_id % 5, event_type, event_id,
+                event_id, event_type, user_id, event_id) AS body
   FROM events
 ), p AS (
   SELECT event_id, body,
          CAST(regexp_extract(body, '^<(\\d{1,3})>', 1) AS INT) AS pri,
-         regexp_extract(body, '^<\\d+>\\d (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|\\[.*?\\]) ?(.*)$',
+         regexp_extract(body, '^<\\d+>\\d (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|(?:\\[.*?\\])+) ?(.*)$',
                         ['ts','hostname','appname','procid','msgid','structured','message']) AS g
   FROM lines
 )
@@ -754,7 +854,10 @@ SELECT 'rfc5424' AS proto,
        g.hostname AS hostname, g.appname AS appname,
        CAST(NULL AS BIGINT) AS pid,
        g.message AS message,
-       CAST(epoch_us(strptime(g.ts, '%Y-%m-%dT%H:%M:%SZ')) AS VARCHAR) AS ts_str
+       CAST(epoch_us(strptime(g.ts, '%Y-%m-%dT%H:%M:%SZ')) AS VARCHAR) AS ts_str,
+       regexp_extract(g.structured, 'eid="([^"]*)"', 1) AS sd_eid,
+       regexp_extract(g.structured, 'src="([^"]*)"', 1) AS sd_src,
+       regexp_extract(g.structured, 'seq="([^"]*)"', 1) AS sd_seq
 FROM p
 UNION ALL
 SELECT 'rfc3164' AS proto,
@@ -765,7 +868,10 @@ SELECT 'rfc3164' AS proto,
        printf('app%d', event_id % 3) AS appname,
        user_id AS pid,
        printf('msg %d', event_id) AS message,
-       strftime(ts, '%m-%d %H:%M:%S') AS ts_str
+       strftime(ts, '%m-%d %H:%M:%S') AS ts_str,
+       CAST(NULL AS VARCHAR) AS sd_eid,
+       CAST(NULL AS VARCHAR) AS sd_src,
+       CAST(NULL AS VARCHAR) AS sd_seq
 FROM events
 """
 
@@ -1342,25 +1448,32 @@ LIMIT 20
 # ------------------------------------------------- non-SQL-expressible (rows-only)
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs (rows-only check: xxhash64-based
-    signatures have no DuckDB equivalent; semantics are pytest-verified
-    against a brute-force Jaccard oracle in tests/test_dedup.py)."""
+    """MinHash+LSH near-dup candidate pairs, each pair annotated with BOTH
+    docs' SimHash signatures and their Hamming distance (simhash merged into
+    this row in r4 — both families are xxhash64-based, hence rows-only: no
+    DuckDB equivalent; semantics are pytest-verified against brute-force
+    Jaccard / bit-vote oracles in tests/test_dedup_similarity.py)."""
     df = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )  # signature HOFs are CPU-bound; a single small file = one task
-    return dedup.minhash_lsh_pairs(
+    pairs = dedup.minhash_lsh_pairs(
         df, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5
     )
-
-
-def q_simhash(spark, sf_dir):
-    """SimHash 64-bit signatures (rows-only; xxhash64-based)."""
-    df = (
-        _t(spark, sf_dir, "documents")
-        .limit(2000)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )  # per-bit vote HOFs are CPU-bound; spread the single small file
-    return df.select("doc_id", dedup.simhash(F.col("text")).alias("simhash64"))
+    sims = df.select("doc_id", dedup.simhash(F.col("text")).alias("sh"))
+    return (
+        pairs.join(
+            sims.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("simhash_a")),
+            "id_a",
+        )
+        .join(
+            sims.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("simhash_b")),
+            "id_b",
+        )
+        .withColumn(
+            "simhash_hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        )
+    )
 
 
 
@@ -1430,16 +1543,35 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs (equi-join candidate generation).
-
-    SQL-expressible in principle but the gram-explode self-join oracle is
-    prohibitively slow in DuckDB at sf0.1; pytest verifies vs brute force."""
+    """Exact n-gram Jaccard near-dup pairs (AllPairs prefix-filtered
+    candidate generation; r4: gained a REAL oracle — the brute-force DuckDB
+    self-join on gram STRINGS finishes in <1 s at the driver's sf0.01, and
+    hash-set Jaccard equals string-set Jaccard modulo negligible 64-bit
+    collisions). The prefix filter's exactness is separately property-tested
+    against brute force in tests/test_dedup_similarity.py."""
     df = (
         _t(spark, sf_dir, "documents")
         .limit(1500)
         .repartition(spark.sparkContext.defaultParallelism)
     )
     return dedup.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.4)
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH words AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+tg AS (SELECT doc_id, unnest(rs) AS i, w
+       FROM (SELECT doc_id, w, range(1, greatest(len(w)-2, 1)+1) AS rs FROM words)),
+grams AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram FROM tg GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE (inter / (sa.sz + sb.sz - inter)) >= 0.4
+"""
 
 
 QUERIES = {
@@ -1461,7 +1593,7 @@ QUERIES = {
     "enrich_broadcast_chain": q_enrich_broadcast_chain,
     "tpch_q1_pricing": q_tpch_q1_pricing,
     "cumulative_to_delta": q_cumulative_to_delta,
-    "delta_to_cumulative": q_delta_to_cumulative,
+    "line_dedup": q_line_dedup,
     "interval_last": q_interval_last,
     "log_template_mining": q_log_template_mining,
     "group_by_trace": q_group_by_trace,
@@ -1490,7 +1622,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_dedup_pairs": q_embedding_dedup_pairs,
     "minhash_lsh": q_minhash_lsh,
-    "simhash": q_simhash,
+    "benchmark_contamination": q_benchmark_contamination,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_lsh_topk": q_ann_lsh_topk,
 }
@@ -1514,7 +1646,7 @@ ORACLES = {
     "enrich_broadcast_chain": SQL_ENRICH_BROADCAST_CHAIN,
     "tpch_q1_pricing": SQL_TPCH_Q1_PRICING,
     "cumulative_to_delta": SQL_CUMULATIVE_TO_DELTA,
-    "delta_to_cumulative": SQL_DELTA_TO_CUMULATIVE,
+    "line_dedup": SQL_LINE_DEDUP,
     "interval_last": SQL_INTERVAL_LAST,
     "log_template_mining": SQL_LOG_TEMPLATE_MINING,
     "group_by_trace": SQL_GROUP_BY_TRACE,
@@ -1542,6 +1674,10 @@ ORACLES = {
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_dedup_pairs": SQL_EMBEDDING_DEDUP_PAIRS,
-    # minhash_lsh / simhash / ngram_jaccard: intentionally no oracle —
-    # xxhash64-based, verified in tests/test_dedup.py instead.
+    "benchmark_contamination": SQL_BENCHMARK_CONTAMINATION,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    # minhash_lsh (+merged simhash) / ann_lsh_topk: intentionally no oracle —
+    # xxhash64-dependent OUTPUT (signature values / bucket membership), so no
+    # engine-independent SQL can reproduce it; verified against brute-force
+    # oracles in tests/test_dedup_similarity.py instead.
 }

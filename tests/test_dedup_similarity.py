@@ -141,6 +141,11 @@ def test_canonicalize_url(spark):
         (3, "https://Example.com:443/"),
         (4, "https://example.com"),
         (5, "https://site.io/p?gclid=123&keep=1&ref=tw"),
+        # non-default scheme/port combos: these are DIFFERENT origins and
+        # must NOT collapse onto the portless canonical form
+        (6, "https://example.com:80/x"),
+        (7, "http://example.com:443/x"),
+        (8, "https://example.com:443/x"),
     ]
     df = spark.createDataFrame(rows, "id long, url string")
     got = {
@@ -151,7 +156,32 @@ def test_canonicalize_url(spark):
     }
     assert got[1] == got[2] == "http://example.com/a?a=2&b=1"
     assert got[3] == got[4] == "https://example.com/"
-    assert got[5] == "https://site.io/p?keep=1"
+    # `ref` is content-bearing — kept unless the caller opts in via strip_params
+    assert got[5] == "https://site.io/p?keep=1&ref=tw"
+    assert got[6] == "https://example.com:80/x"
+    assert got[7] == "http://example.com:443/x"
+    assert got[8] == "https://example.com/x"
+    stripped = df.filter(F.col("id") == 5).select(
+        dedup.canonicalize_url(F.col("url"), strip_params=["ref"]).alias("c")
+    ).head().c
+    assert stripped == "https://site.io/p?keep=1"
+
+
+def test_line_dedup_regex_metachar_separator(spark):
+    """Separators with regex metacharacters split literally and round-trip
+    (split takes a Java regex; the separator is escaped internally)."""
+    shared = "boiler"
+    docs = spark.createDataFrame(
+        [(1, f"alpha|{shared}|omega"), (2, f"{shared}|beta"), (3, f"gamma|{shared}")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.line_dedup(docs, sep="|", max_line_df=2).collect()
+    }
+    assert out[1].text == "alpha|omega"
+    assert out[2].text == "beta"
+    assert out[3].text == "gamma"
 
 
 def test_ngram_prefix_filter_is_exact(spark):
@@ -282,6 +312,43 @@ def test_multimodal_plumbing(spark):
     assert all(r["count"] == 3 for r in per_doc)  # 3000ms / 1000ms
     resized = mm.resize_images(media, 32, 32).collect()
     assert all(r.meta.width == 32 for r in resized)
+
+
+def test_multimodal_real_codecs(spark):
+    """BMP/WAV are REAL codecs: pixel dims and sample stats come from the
+    bytes, not the meta; resize re-encodes a decodable BMP at the new dims."""
+    import numpy as np
+
+    from opentelemetry_collector_contrib_spark.operators import multimodal as mm
+
+    # round-trip: encode → decode reproduces exact pixels / samples
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    w, h, back = mm.decode_bmp(mm.encode_bmp(px))
+    assert (w, h) == (9, 5) and np.array_equal(back, px)
+    samples = rng.integers(-30000, 30000, size=777, dtype=np.int16)
+    ch, rate, sback = mm.decode_wav(mm.encode_wav(samples, rate=16000))
+    assert (ch, rate) == (1, 16000) and np.array_equal(sback, samples)
+
+    media = mm.synthetic_media(spark, 30)
+    feats = {r.doc_id: r for r in mm.extract_features(media).collect()}
+    imgs = {r.doc_id: r for r in media.collect()}
+    for doc_id, r in feats.items():
+        src = imgs[doc_id]
+        if src.media_type == "image":
+            # features[0:2] are the REAL decoded width/height from the bytes
+            assert r.features[0] == 16.0 and r.features[1] == 12.0
+        elif src.media_type == "audio":
+            assert r.features[0] == 2000.0 and r.features[1] == 8000.0
+
+    resized = mm.resize_images(media.filter("media_type = 'image'"), 4, 6).collect()
+    for r in resized:
+        w2, h2, px2 = mm.decode_bmp(bytes(r.payload))
+        assert (w2, h2) == (4, 6) and px2.shape == (6, 4, 3)
+        # nearest-neighbor: every resized pixel exists in the source image
+        w0, h0, px0 = mm.decode_bmp(bytes(imgs[r.doc_id].payload))
+        src_set = {tuple(q) for q in px0.reshape(-1, 3)}
+        assert all(tuple(q) in src_set for q in px2.reshape(-1, 3))
 
 
 def test_canonicalize_url_idempotent(spark):

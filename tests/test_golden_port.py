@@ -1,0 +1,319 @@
+"""Golden-file ports: the reference's OWN testdata yaml pairs driven through
+our operators end-to-end.
+
+Fixtures are read VERBATIM from ``/root/reference/**/testdata`` in the
+``pkg/golden`` ReadLogs shape (resourceLogs → scopeLogs → logRecords); the
+comparator mirrors ``pkg/pdatatest/plogtest`` CompareLogs with exactly the
+options each Go test passes (IgnoreTimestamp, IgnoreObservedTimestamp,
+IgnoreLogRecordAttributeValue, IgnoreLogRecordsOrder —
+``pkg/pdatatest/plogtest/options.go:30-233``). This is the strongest
+switch-over proof available in-sandbox: same inputs, same configs (statement
+strings copied verbatim from the Go tests), same expected outputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+import yaml
+from pyspark.sql import functions as F
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not present"
+)
+
+
+# ------------------------------------------------------- golden.ReadLogs port
+
+def _val(v: dict):
+    if "stringValue" in v:
+        return v["stringValue"]
+    if "intValue" in v:
+        return int(v["intValue"])
+    if "boolValue" in v:
+        return bool(v["boolValue"])
+    if "doubleValue" in v:
+        return float(v["doubleValue"])
+    raise ValueError(f"unsupported attribute value {v!r}")
+
+
+def read_logs(path: str) -> list[dict]:
+    """pkg/golden ReadLogs analog → flat record dicts."""
+    with open(path) as fh:
+        doc = yaml.safe_load(fh)
+    out = []
+    for rl in doc.get("resourceLogs", []):
+        res = {
+            a["key"]: _val(a["value"])
+            for a in (rl.get("resource") or {}).get("attributes") or []
+        }
+        for sl in rl.get("scopeLogs", []):
+            for lr in sl.get("logRecords", []):
+                out.append(
+                    {
+                        "resource": res,
+                        "attributes": {
+                            a["key"]: _val(a["value"])
+                            for a in lr.get("attributes") or []
+                        },
+                        "body": (lr.get("body") or {}).get("stringValue"),
+                        "severity_text": lr.get("severityText"),
+                        "time_unix_nano": int(lr["timeUnixNano"])
+                        if lr.get("timeUnixNano")
+                        else None,
+                    }
+                )
+    return out
+
+
+def _s(v) -> str:
+    """pdata-style stringification shared by both compare sides (bool
+    lowercase, ints plain, floats via float repr)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return str(v)
+    return str(v)
+
+
+def records_to_df(spark, recs: list[dict]):
+    rows = [
+        (
+            {k: _s(v) for k, v in r["resource"].items()},
+            {k: _s(v) for k, v in r["attributes"].items()},
+            r["body"],
+            r["severity_text"],
+            r["time_unix_nano"],
+        )
+        for r in recs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "resource map<string,string>, attributes map<string,string>, "
+        "body string, severity_text string, time_unix_nano long",
+    )
+
+
+def df_to_records(df) -> list[dict]:
+    return [
+        {
+            "resource": dict(r.resource or {}),
+            "attributes": dict(r.attributes or {}),
+            "body": r.body,
+            "severity_text": r.severity_text,
+            "time_unix_nano": getattr(r, "time_unix_nano", None),
+        }
+        for r in df.collect()
+    ]
+
+
+# --------------------------------------------------- plogtest.CompareLogs port
+
+def compare_logs(expected, actual, ignore_attr_values=(), ignore_time=True):
+    """Order-insensitive record-set equality; ``ignore_attr_values`` mirrors
+    IgnoreLogRecordAttributeValue (key must exist, value masked)."""
+
+    def canon(recs):
+        out = []
+        for r in recs:
+            attrs = tuple(
+                sorted(
+                    (k, "<any>" if k in ignore_attr_values else _s(v))
+                    for k, v in r["attributes"].items()
+                )
+            )
+            res = tuple(sorted((k, _s(v)) for k, v in r["resource"].items()))
+            key = [res, attrs, r["body"], r.get("severity_text")]
+            if not ignore_time:
+                key.append(r.get("time_unix_nano"))
+            out.append(tuple(key))
+        return sorted(out)
+
+    assert canon(expected) == canon(actual)
+
+
+def _canon_map(name: str):
+    return F.to_json(F.array_sort(F.map_entries(F.col(name))))
+
+
+# ------------------------------------------------------------------- fixtures
+
+def test_transform_flatten_golden(spark):
+    """transformprocessor TestProcessLogsWithFlatten
+    (processor_test.go:67-96): statements verbatim; flatten_data=true is our
+    flat model's native shape (one resource per record), so
+    expected-with-flatten.yaml is the golden."""
+    from opentelemetry_collector_contrib_spark.functions.ottl import (
+        transform_processor,
+    )
+
+    base = f"{REF}/processor/transformprocessor/testdata/logs"
+    df = records_to_df(spark, read_logs(f"{base}/input.yaml"))
+    out = transform_processor(
+        df,
+        [
+            'set(resource.attributes["host.name"], attributes["host.name"])',
+            'delete_key(attributes, "host.name")',
+        ],
+    )
+    compare_logs(read_logs(f"{base}/expected-with-flatten.yaml"), df_to_records(out))
+
+
+def _dedup_records(spark, df, interval="10 minutes"):
+    """logdedupprocessor analog over golden records: key = record minus
+    excluded fields, emit one record per key/interval with log_count +
+    first/last_observed_timestamp attrs (processor.go:163-301)."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import log_dedup
+
+    keyed = (
+        df.withColumn("_ts", F.timestamp_micros((F.col("time_unix_nano") / 1000).cast("long")))
+        .withColumn("_res_key", _canon_map("resource"))
+        .withColumn("_attr_key", _canon_map("attributes"))
+    )
+    agg = log_dedup(
+        keyed, ["_res_key", "_attr_key", "body", "severity_text"], "_ts", interval
+    )
+    payload = keyed.select(
+        "_res_key", "_attr_key", "body", "severity_text", "resource", "attributes"
+    ).dropDuplicates(["_res_key", "_attr_key", "body", "severity_text"])
+    joined = agg.join(payload, ["_res_key", "_attr_key", "body", "severity_text"])
+    recs = []
+    for r in joined.collect():
+        attrs = dict(r.attributes or {})
+        attrs["log_count"] = r.log_count
+        attrs["first_observed_timestamp"] = str(r.first_observed_timestamp)
+        attrs["last_observed_timestamp"] = str(r.last_observed_timestamp)
+        recs.append(
+            {
+                "resource": dict(r.resource or {}),
+                "attributes": attrs,
+                "body": r.body,
+                "severity_text": r.severity_text,
+            }
+        )
+    return recs
+
+
+_DEDUP_IGNORES = ("first_observed_timestamp", "last_observed_timestamp")
+
+
+def test_logdedup_basic_golden(spark):
+    """logdedupprocessor basicLogs pair (processor_test.go:137-182):
+    exclude_fields=[attributes.remove_me], two identical-after-exclusion
+    records collapse to one with log_count=2; timestamps ignored exactly as
+    the Go test's plogtest options do."""
+    base = f"{REF}/processor/logdedupprocessor/testdata"
+    df = records_to_df(spark, read_logs(f"{base}/input/basicLogs.yaml"))
+    df = df.withColumn(
+        "attributes", F.map_filter("attributes", lambda k, v: k != "remove_me")
+    )
+    actual = _dedup_records(spark, df)
+    compare_logs(
+        read_logs(f"{base}/expected/basicLogs.yaml"),
+        actual,
+        ignore_attr_values=_DEDUP_IGNORES,
+    )
+
+
+def test_logdedup_condition_golden(spark):
+    """logdedupprocessor TestProcessorConsumeCondition
+    (processor_test.go:220-266): condition string verbatim — matching
+    records dedup, non-matching pass through untouched; both sinks compared
+    against their goldens."""
+    from opentelemetry_collector_contrib_spark.functions.ottl import (
+        Compiler,
+        PathResolver,
+    )
+
+    base = f"{REF}/processor/logdedupprocessor/testdata"
+    df = records_to_df(spark, read_logs(f"{base}/input/conditionLogs.yaml"))
+    df = df.withColumn(
+        "attributes", F.map_filter("attributes", lambda k, v: k != "remove_me")
+    )
+    cond = Compiler(PathResolver(df)).compile_condition('(attributes["ID"] == 1)')
+    matched = df.filter(cond)
+    consumed = df.filter(~F.coalesce(cond, F.lit(False)))
+    compare_logs(
+        read_logs(f"{base}/expected/conditionConsumedLogs.yaml"),
+        df_to_records(consumed),
+    )
+    compare_logs(
+        read_logs(f"{base}/expected/conditionDedupedLogs.yaml"),
+        _dedup_records(spark, matched),
+        ignore_attr_values=_DEDUP_IGNORES,
+    )
+
+
+def test_geoip_resource_golden(spark):
+    """geoipprocessor resource_source_address pair: the provider-mock's geo
+    metadata (geoip_processor_test.go providerConfigMock — the same values
+    the output golden carries) as our broadcast range dim; resource
+    source.address drives the lookup, geo.* land in resource attrs."""
+    from opentelemetry_collector_contrib_spark.operators.enrich import (
+        geoip_range_lookup,
+    )
+
+    base = f"{REF}/processor/geoipprocessor/testdata/resource_source_address"
+    recs = read_logs(f"{base}/input-logs.yaml")
+    df = records_to_df(spark, recs)
+
+    geo = {
+        "geo.city_name": "Boxford",
+        "geo.continent.code": "EU",
+        "geo.continent_name": "Europe",
+        "geo.country.iso_code": "GB",
+        "geo.country_name": "United Kingdom",
+        "geo.location.lat": 1234.0,
+        "geo.location.lon": 5678.0,
+        "geo.postal_code": "OX1",
+        "geo.region.iso_code": "WBK",
+        "geo.region_name": "West Berkshire",
+        "geo.timezone": "Europe/London",
+    }
+    ip = 1 * 16777216 + 2 * 65536 + 3 * 256 + 4  # 1.2.3.4 — the mock's hit
+    ranges = spark.createDataFrame(
+        [(ip, ip, *[_s(v) for v in geo.values()])],
+        ["ip_lo", "ip_hi", *[k.replace(".", "_") for k in geo.keys()]],
+    )
+    df = df.withColumn("_src_ip", F.element_at("resource", "source.address"))
+    enriched = geoip_range_lookup(df, "_src_ip", ranges)
+    geo_map = F.map_filter(
+        F.create_map(
+            *[
+                x
+                for k in geo.keys()
+                for x in (F.lit(k), F.col(k.replace(".", "_")))
+            ]
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    out = enriched.withColumn("resource", F.map_concat("resource", geo_map)).drop(
+        "_src_ip", *[k.replace(".", "_") for k in geo.keys()]
+    )
+    compare_logs(read_logs(f"{base}/output-logs.yaml"), df_to_records(out))
+
+
+def test_geoip_not_found_golden(spark):
+    """geoipprocessor resource_source_address_geo_not_found pair: an address
+    the provider doesn't know must leave the resource untouched."""
+    from opentelemetry_collector_contrib_spark.operators.enrich import (
+        geoip_range_lookup,
+    )
+
+    base = f"{REF}/processor/geoipprocessor/testdata/resource_source_address_geo_not_found"
+    df = records_to_df(spark, read_logs(f"{base}/input-logs.yaml"))
+    ip = 1 * 16777216 + 2 * 65536 + 3 * 256 + 4
+    ranges = spark.createDataFrame([(ip, ip, "Boxford")], ["ip_lo", "ip_hi", "city"])
+    df = df.withColumn("_src_ip", F.element_at("resource", "source.address"))
+    enriched = geoip_range_lookup(df, "_src_ip", ranges)
+    geo_map = F.map_filter(
+        F.create_map(F.lit("geo.city_name"), F.col("city")),
+        lambda k, v: v.isNotNull(),
+    )
+    out = enriched.withColumn("resource", F.map_concat("resource", geo_map)).drop(
+        "_src_ip", "city"
+    )
+    compare_logs(read_logs(f"{base}/output-logs.yaml"), df_to_records(out))

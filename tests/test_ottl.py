@@ -207,3 +207,41 @@ class TestFilterAndErrors:
     def test_parse_statement_shape(self):
         s = parse_statement('set(body, "x") where severity_number == 17')
         assert s.editor.name == "set" and s.where is not None
+
+
+class TestGroupConditionsPreGroupState:
+    """The statement-group `conditions` guard is evaluated ONCE per record
+    against pre-group state (transformprocessor internal/common/logs.go:40-46):
+    a group whose condition reads a field its own statements rewrite must
+    still execute the remaining statements for records that matched on entry."""
+
+    def test_guard_sees_pre_group_state(self, spark):
+        df = spark.createDataFrame(
+            [("keep", "a", 1), ("drop", "b", 2)],
+            "body string, tag string, value int",
+        )
+        out = transform_processor(
+            df,
+            ['set(body, "rewritten")', 'set(tag, "touched")'],
+            conditions=['body == "keep"'],
+        )
+        got = {r.value: (r.body, r.tag) for r in out.collect()}
+        # record 1 matched on entry: BOTH statements apply even though the
+        # first one rewrote the field the guard reads
+        assert got[1] == ("rewritten", "touched")
+        assert got[2] == ("drop", "b")
+        assert "__ottl_group_guard" not in out.columns
+
+    def test_guard_pre_state_on_attributes_map(self, spark):
+        df = spark.createDataFrame(
+            [(1, {"x": "hit", "k": "v"}), (2, {"x": "miss"})],
+            "id int, attributes map<string,string>",
+        )
+        out = transform_processor(
+            df,
+            ['set(attributes["x"], "gone")', 'set(attributes["seen"], "yes")'],
+            conditions=['attributes["x"] == "hit"'],
+        )
+        got = {r.id: dict(r.attributes) for r in out.collect()}
+        assert got[1] == {"x": "gone", "k": "v", "seen": "yes"}
+        assert got[2] == {"x": "miss"}

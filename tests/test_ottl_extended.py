@@ -92,6 +92,34 @@ class TestSyslogParser:
         assert r.timestamp is not None and not r._parse_error
         assert out[1]._parse_error
 
+    def test_rfc5424_structured_data(self, spark):
+        """SD elements parse into the nested map (parser.go:115 via
+        go-syslog): multi-element, escaped \" and \] in values, empty param
+        list, NILVALUE -> null."""
+        from opentelemetry_collector_contrib_spark.operators.parsers import (
+            parse_structured_data,  # noqa: F401 — exercised via syslog_parser
+        )
+
+        rows = [
+            ('<165>1 2026-01-02T03:04:05Z h app 1 ID47 '
+             '[ex@32473 iut="3" src="App \\" x" eid="10\\]11"][meta seq="9"] m1',),
+            ("<34>1 2026-01-02T03:04:05Z h app - - - plain",),
+            ("<34>1 2026-01-02T03:04:05Z h app - - [solo@1] empty",),
+        ]
+        df = spark.createDataFrame(rows, "body string")
+        out = syslog_parser(df, protocol="rfc5424").collect()
+        sd0 = {k: dict(v) for k, v in out[0].structured_data.items()}
+        assert sd0 == {
+            "ex@32473": {"iut": "3", "src": 'App " x', "eid": "10]11"},
+            "meta": {"seq": "9"},
+        }
+        assert out[0].message == "m1"
+        assert out[1].structured_data is None and out[1].message == "plain"
+        assert {k: dict(v) for k, v in out[2].structured_data.items()} == {
+            "solo@1": {}
+        }
+        assert out[2].message == "empty"
+
     def test_rfc3164(self, spark):
         line = "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed"
         df = spark.createDataFrame([(line,)], "body string")

@@ -105,6 +105,26 @@ class TestDrain:
         assert out.count() == len(self.LINES)
         assert out.select("log_record_template").distinct().count() == 2
 
+    def test_max_templates_overflow_no_nulls(self, spark):
+        """Over-limit guard: with max_templates below the local template
+        count, every row still gets a (local) template — never NULL — and
+        the warning column flags the skipped merge."""
+        from opentelemetry_collector_contrib_spark.operators.templates import (
+            drain_processor,
+        )
+
+        df = spark.createDataFrame([(x,) for x in self.LINES], "body string")
+        out = drain_processor(df, "body", depth=3, max_templates=1)
+        rows = out.collect()
+        assert len(rows) == len(self.LINES)
+        assert all(r.log_record_template is not None for r in rows)
+        assert all(r.log_record_template_merge_skipped for r in rows)
+        # under-limit path reports False on the same column
+        ok = drain_processor(df, "body", depth=3)
+        assert not any(
+            r.log_record_template_merge_skipped for r in ok.collect()
+        )
+
     def test_cross_partition_merge(self, spark):
         """Partition-local trees produce local variants; the merge pass
         unifies them into one template set."""
