@@ -277,10 +277,17 @@ def ngram_jaccard_pairs(
     GENERATION only — a lossy backstop for adversarial corpora where even
     prefixes go hot; the Jaccard verify still uses every gram.
     """
+    # explode_outer everywhere a HOF-built array is exploded: plain explode
+    # makes InferFiltersFromGenerate push a size(...)>0 filter to the SCAN
+    # with the whole shingle tree inlined per array reference — measured 10×
+    # the stage cost at sf0.1. The arrays are never empty (the window index
+    # is sequence(0, greatest(n-k, 0))), and null text is pre-filtered, so
+    # outer ≡ inner here.
+    df = df.filter(F.col(text_col).isNotNull())
     base = shingle_hash_frame(df, text_col, id_col, n).select(
         "id", F.slice("hs", 1, max_grams).alias("g")
     )
-    ex = base.select("id", F.explode("g").alias("gram"))
+    ex = base.select("id", F.explode_outer("g").alias("gram"))
     dfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
     if max_gram_df is not None:
         dfreq = dfreq.filter(F.col("_df") <= max_gram_df)
@@ -306,7 +313,7 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    pex = ordered.select("id", "sz", F.explode("_prefix").alias("gram"))
+    pex = ordered.select("id", "sz", F.explode_outer("_prefix").alias("gram"))
     cand = (
         pex.alias("a")
         .join(
@@ -364,26 +371,39 @@ def benchmark_contamination(
     bench = bench_df.select(
         F.monotonically_increasing_id().alias("_bid"),
         F.col(bench_text_col or text_col).alias("_btext"),
-    )
+    ).filter(F.col("_btext").isNotNull())
     bench_grams = (
         shingle_hash_frame(bench, "_btext", "_bid", n)
-        .select(F.explode("hs").alias("gram"))
+        # explode_outer: see ngram_jaccard_pairs — plain explode's inferred
+        # size>0 filter inlines the shingle tree at the scan (10× cost)
+        .select(F.explode_outer("hs").alias("gram"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
-    train_g = shingle_hash_frame(train_df, text_col, id_col, n)
-    hits = (
-        train_g.select("id", F.explode("hs").alias("gram"))
-        .join(bench_grams, "gram")
+    # ONE pass over the training shingles: explode the (distinct) gram set,
+    # broadcast-LEFT-join the benchmark grams, and let a single groupBy(id)
+    # produce BOTH counts — n_grams = count(*) because hs is distinct.
+    # Deliberately NO F.size(hs) next to the explode: projection collapse
+    # re-inlines the HOF shingle tree into the post-Generate projection, so
+    # size() would re-evaluate the whole tree once per OUTPUT row (~90× the
+    # shingle cost, measured 3.5 s → 31 s at sf0.1). The r3 two-branch shape
+    # paid the same tax through its size()-only branch.
+    train_g = shingle_hash_frame(
+        train_df.filter(F.col(text_col).isNotNull()), text_col, id_col, n
+    )
+    per_doc = (
+        train_g.select("id", F.explode_outer("hs").alias("gram"))
+        .join(bench_grams, "gram", "left")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
     )
     return (
-        train_g.select("id", F.size("hs").alias("n_grams"))
-        .join(hits, "id", "left")
-        .fillna(0, ["n_hit"])
-        .withColumn(
+        per_doc.withColumn(
             "overlap", F.col("n_hit") / F.greatest(F.col("n_grams"), F.lit(1))
         )
         .withColumn("contaminated", F.col("overlap") >= min_overlap)

@@ -557,7 +557,9 @@ def q_benchmark_contamination(spark, sf_dir):
     per-train-doc fraction of word 8-grams present anywhere in the benchmark
     gram set. The oracle recomputes with gram STRINGS — hash-set membership
     is string-set membership modulo negligible 64-bit collisions."""
-    df = _t(spark, sf_dir, "documents")
+    df = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # shingle HOFs are CPU-bound; the single small parquet file = one task
     bench = df.filter(F.col("doc_id") % 17 == 0).select(
         F.regexp_extract(F.lower("text"), r"^(\S+(?: \S+){11})", 1).alias("text")
     )
