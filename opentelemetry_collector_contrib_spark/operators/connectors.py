@@ -233,3 +233,272 @@ def fan_in(*dfs: DataFrame) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+# ---------------------------------------------------------------- otlpjson
+
+#: pdata attribute value in OTLP/JSON form (the subset our flat string-map
+#: model carries; arrays/kvlists stringify upstream)
+_OTLP_ATTR = (
+    "array<struct<key:string, value:struct<stringValue:string, intValue:string,"
+    " boolValue:boolean, doubleValue:double>>>"
+)
+_OTLP_LOGS_SCHEMA = (
+    "struct<resourceLogs: array<struct<"
+    f"resource: struct<attributes: {_OTLP_ATTR}>, "
+    "scopeLogs: array<struct<logRecords: array<struct<"
+    "timeUnixNano:string, observedTimeUnixNano:string, severityNumber:int, "
+    f"severityText:string, body: struct<stringValue:string>, attributes: {_OTLP_ATTR}, "
+    "droppedAttributesCount:int, traceId:string, spanId:string>>>>>>>"
+)
+
+#: payload sniffers — factory.go:19-21 verbatim
+OTLPJSON_LOG_RE = r'^\{\s*"resourceLogs"\s*:\s*\['
+OTLPJSON_METRIC_RE = r'^\{\s*"resourceMetrics"\s*:\s*\['
+OTLPJSON_TRACE_RE = r'^\{\s*"resourceSpans"\s*:\s*\['
+
+
+def _otlp_attr_map(attrs: Column) -> Column:
+    """OTLP attribute list → map<string,string> (pdata AsString per value:
+    booleans lowercase via cast, ints/doubles plain)."""
+    return F.map_from_entries(
+        F.transform(
+            F.coalesce(attrs, F.array()),
+            lambda a: F.struct(
+                a["key"].alias("key"),
+                F.coalesce(
+                    a["value"]["stringValue"],
+                    a["value"]["intValue"],
+                    a["value"]["doubleValue"].cast("string"),
+                    a["value"]["boolValue"].cast("string"),
+                ).alias("value"),
+            ),
+        )
+    )
+
+
+def otlpjson_logs_connector(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """``connector/otlpjsonconnector`` (logs→logs): each record whose body is
+    an OTLP/JSON Logs payload is unmarshalled and its embedded log records
+    re-emitted as flat rows; metric/trace payloads and unparseable bodies are
+    skipped, exactly like ``logs.go:43-79`` (which logs and continues).
+
+    Spark shape: regex sniff (``factory.go:19-21``) → ``from_json`` with the
+    plog JSON schema → three-level explode (resourceLogs → scopeLogs →
+    logRecords) → resource/record attribute maps via map_from_entries. All
+    JVM Column work, no UDF; the sniff prunes non-log payloads before the
+    parse. (The per-level inferred size>0 filters re-evaluate from_json once
+    more per row — a 2× constant on matched rows, not the HOF blowup class.)
+    """
+    src = F.col(body_col)
+    parsed = df.filter(src.rlike(OTLPJSON_LOG_RE)).select(
+        F.from_json(src, _OTLP_LOGS_SCHEMA).alias("_pl")
+    )
+    rl = parsed.filter(F.col("_pl").isNotNull()).select(
+        F.explode("_pl.resourceLogs").alias("_rl")
+    )
+    lr = (
+        rl.select(
+            _otlp_attr_map(F.col("_rl.resource.attributes")).alias("resource"),
+            F.explode("_rl.scopeLogs").alias("_sl"),
+        )
+        .select("resource", F.explode("_sl.logRecords").alias("_lr"))
+    )
+    return lr.select(
+        "resource",
+        _otlp_attr_map(F.col("_lr.attributes")).alias("attributes"),
+        F.col("_lr.body.stringValue").alias("body"),
+        F.col("_lr.severityNumber").alias("severity_number"),
+        F.col("_lr.severityText").alias("severity_text"),
+        F.col("_lr.traceId").alias("trace_id"),
+        F.col("_lr.spanId").alias("span_id"),
+        F.col("_lr.timeUnixNano").cast("long").alias("time_unix_nano"),
+        F.col("_lr.droppedAttributesCount").alias("dropped_attributes_count"),
+    )
+
+
+# ---------------------------------------------------------- signaltometrics
+
+@dataclass
+class SignalMetricDef:
+    """One ``connector/signaltometricsconnector`` metric definition
+    (config/config.go:232-311): OTTL ``value`` expression, OR'd OTTL
+    ``conditions``, attribute tuple (with per-attribute ``default_value`` /
+    ``optional``), and a metric shape (sum / gauge / histogram /
+    exponential_histogram)."""
+
+    name: str
+    value: str = "1"
+    metric_type: str = "sum"
+    conditions: list[str] = field(default_factory=list)
+    attributes: list[dict] = field(default_factory=list)
+    monotonic: bool = True
+    buckets: list[float] | None = None  # histogram explicit bounds
+    scale: int = 2  # exponential_histogram scale
+
+
+def signal_to_metrics(
+    df: DataFrame,
+    defs: list[SignalMetricDef],
+    overrides: dict[str, str] | None = None,
+    error_mode: str = "ignore",
+    order_col: str | None = None,
+) -> dict[str, DataFrame]:
+    """signaltometrics connector, logs signal: per-batch aggregation only
+    (the reference performs no stateful/time aggregation — README "Metrics
+    types"), so the batch form is exact, not an approximation.
+
+    Per def: filter by OR'd OTTL conditions, evaluate the OTTL ``value``
+    expression per record, drop records missing a non-optional attribute
+    with no default (validateAttributeConfigs semantics), then ONE hash
+    aggregation per metric keyed by the attribute tuple:
+
+    - ``sum``: sum of value (int stays long, double stays double).
+    - ``gauge``: last-written value per tuple (gaugedp.go:25 overwrites per
+      record). Batch-deterministic analog: value at max ``order_col`` when
+      given, else max(value) — documented stand-in, record order is not
+      defined in a DataFrame batch.
+    - ``histogram``: explicit-bound bucket counts (le_* columns) + sum.
+    - ``exponential_histogram``: OTel base-2 bucket indices at ``scale``.
+
+    Everything is Column-only; N defs = N independent aggregations over one
+    scan (Spark reuses the scan; no UDF, no collect).
+    """
+    from ..functions.ottl import Compiler, PathResolver, parse_condition
+
+    out: dict[str, DataFrame] = {}
+    for d in defs:
+        c = Compiler(PathResolver(df, overrides), error_mode)
+        c.resolver.columns = set(df.columns)
+        cur = df
+        pred = None
+        for s in d.conditions:
+            col = c._as_col(c.compile_value(parse_condition(s)))
+            pred = col if pred is None else (pred | col)
+        if pred is not None:
+            cur = cur.filter(F.coalesce(pred, F.lit(False)))
+        val = c._as_col(c.compile_value(parse_condition(d.value)))
+        dims = []
+        for a in d.attributes:
+            key = a["key"]
+            acol = c._as_col(c.compile_value(parse_condition(f'attributes["{key}"]')))
+            if "default_value" in a:
+                acol = F.coalesce(acol, F.lit(a["default_value"]))
+            elif not a.get("optional"):
+                cur = cur.filter(acol.isNotNull())
+            dims.append(acol.alias(key.replace(".", "_")))
+        cur = cur.withColumn("_s2m_value", val)
+        gb = cur.groupBy(*dims)
+        if d.metric_type == "sum":
+            out[d.name] = gb.agg(F.sum("_s2m_value").alias("value"))
+        elif d.metric_type == "gauge":
+            agg = (
+                F.max_by(F.col("_s2m_value"), F.col(order_col))
+                if order_col
+                else F.max("_s2m_value")
+            )
+            out[d.name] = gb.agg(agg.alias("value"))
+        elif d.metric_type == "histogram":
+            bounds = d.buckets or [2, 4, 6, 8, 10, 50, 100, 200, 400, 800]
+            v = F.col("_s2m_value")
+            aggs = [
+                F.count(F.lit(1)).alias("count"),
+                F.sum(v).alias("sum"),
+            ]
+            lo = None
+            for b in bounds:
+                cond = (v <= b) if lo is None else ((v > lo) & (v <= b))
+                aggs.append(F.sum(cond.cast("long")).alias(f"le_{str(b).replace('.', '_')}"))
+                lo = b
+            aggs.append(F.sum((v > lo).cast("long")).alias("le_inf"))
+            out[d.name] = gb.agg(*aggs)
+        elif d.metric_type == "exponential_histogram":
+            idx = (F.ceil(F.log2(F.col("_s2m_value")) * (2 ** d.scale)) - 1).cast("bigint")
+            out[d.name] = (
+                cur.filter(F.col("_s2m_value") > 0)
+                .withColumn("bucket_idx", idx)
+                .groupBy(*dims, "bucket_idx")
+                .agg(F.count(F.lit(1)).alias("bucket_count"))
+            )
+        else:
+            raise ValueError(f"unsupported metric_type {d.metric_type!r}")
+    return out
+
+
+# ------------------------------------------------------------- servicegraph
+
+def service_graph(
+    df: DataFrame,
+    trace_col: str = "trace_id",
+    span_col: str = "span_id",
+    parent_col: str = "parent_span_id",
+    kind_col: str = "span_kind",
+    service_col: str = "service",
+    duration_col: str = "duration",
+    failed_col: str | None = None,
+    buckets: list[float] | None = None,
+) -> DataFrame:
+    """``connector/servicegraphconnector``: client→server edges from span
+    pairs, aggregated into request/failure counts + latency histograms.
+
+    The reference keys an in-memory store by (traceID, spanID) and matches a
+    CLIENT span against the SERVER span whose parentSpanID equals it
+    (``connector.go:263-300``). Batch sees whole traces, so the store is
+    simply an equi-join: CLIENT side on (trace, span_id) vs SERVER side on
+    (trace, parent_span_id) — one shuffle on slim keys, then a hash agg per
+    (client service, server service, failed) edge. No state, no window; at
+    100 TB both sides partition by the same join key.
+
+    ``failed_col`` (boolean) marks span-level failure; an edge is failed if
+    either side failed (``connector.go:342-368`` error accounting).
+    """
+    client = df.filter(F.upper(F.col(kind_col)).isin("CLIENT", "SPAN_KIND_CLIENT")).select(
+        F.col(trace_col).alias("_t"),
+        F.col(span_col).alias("_join_span"),
+        F.col(service_col).alias("client_service"),
+        F.col(duration_col).alias("_client_dur"),
+        (F.col(failed_col) if failed_col else F.lit(False)).alias("_cf"),
+    )
+    server = df.filter(F.upper(F.col(kind_col)).isin("SERVER", "SPAN_KIND_SERVER")).select(
+        F.col(trace_col).alias("_t"),
+        F.col(parent_col).alias("_join_span"),
+        F.col(service_col).alias("server_service"),
+        F.col(duration_col).alias("_server_dur"),
+        (F.col(failed_col) if failed_col else F.lit(False)).alias("_sf"),
+    )
+    edges = client.join(server, ["_t", "_join_span"])
+    bounds = buckets or [2, 4, 6, 8, 10, 50, 100, 200, 400, 800]
+    sdur = F.col("_server_dur")
+    aggs = [
+        F.count(F.lit(1)).alias("req_total"),
+        F.sum((F.col("_cf") | F.col("_sf")).cast("long")).alias("req_failed_total"),
+        F.sum("_client_dur").alias("client_duration_sum"),
+        F.sum("_server_dur").alias("server_duration_sum"),
+    ]
+    lo = None
+    for b in bounds:
+        cond = (sdur <= b) if lo is None else ((sdur > lo) & (sdur <= b))
+        aggs.append(F.sum(cond.cast("long")).alias(f"server_le_{str(b).replace('.', '_')}"))
+        lo = b
+    aggs.append(F.sum((sdur > lo).cast("long")).alias("server_le_inf"))
+    return edges.groupBy("client_service", "server_service").agg(*aggs)
+
+
+# ------------------------------------------------- roundrobin / failover
+
+def round_robin(df: DataFrame, n: int, order_col: str, out: str = "endpoint") -> DataFrame:
+    """``connector/roundrobinconnector``: spread records over N downstream
+    pipelines in rotation. A DataFrame has no arrival order, so rotation is
+    defined by ``order_col`` (deterministic given the data): global
+    row_number % n. Use ``load_balancing_bucket`` instead when a stable
+    KEY-based assignment is wanted — this form is for even spreading.
+
+    The global row_number costs a single-partition window at batch scale —
+    acceptable for pipeline fan-out of AGGREGATED streams (the reference use
+    case: spreading exporter load), wrong for raw 100 TB fact tables (use
+    the hash bucket for those; documented trade-off).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(order_col)
+    return df.withColumn(out, ((F.row_number().over(w) - 1) % n).cast("int"))

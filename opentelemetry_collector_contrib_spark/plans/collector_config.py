@@ -995,6 +995,43 @@ def _connector_output(cname, cspec, target_pipeline, pipelines, frames):
             src, dims, dur, explicit_buckets=buckets, exemplars=ex,
             trace_col=_field(cspec.get("trace_field") or "trace_id") if ex else None,
         )
+    if kind == "signaltometrics":
+        # connector/signaltometricsconnector config/config.go:232-311 — each
+        # logs entry carries exactly one metric shape (sum/gauge/histogram/
+        # exponential_histogram) with an OTTL value and OR'd conditions
+        defs = []
+        for mspec in (cspec or {}).get("logs") or []:
+            shape, shape_spec = None, {}
+            for t in ("sum", "gauge", "histogram", "exponential_histogram"):
+                if t in mspec:
+                    shape, shape_spec = t, mspec[t] or {}
+            if shape is None:
+                raise ValueError(
+                    f"signaltometrics metric {mspec.get('name')!r} defines no shape"
+                )
+            defs.append(
+                conn.SignalMetricDef(
+                    name=mspec["name"],
+                    value=str(shape_spec.get("value", "1")),
+                    metric_type=shape,
+                    conditions=mspec.get("conditions") or [],
+                    attributes=mspec.get("attributes") or [],
+                    monotonic=bool(shape_spec.get("monotonic", True)),
+                    buckets=shape_spec.get("buckets"),
+                    scale=int(shape_spec.get("scale", 2)),
+                )
+            )
+        if not defs:
+            raise ValueError(f"signaltometrics connector {cname!r} defines no logs metrics")
+        out = conn.signal_to_metrics(src, defs)
+        frames_list = [
+            frame.withColumn("metric_name", F.lit(mname))
+            for mname, frame in out.items()
+        ]
+        res = frames_list[0]
+        for extra in frames_list[1:]:
+            res = res.unionByName(extra, allowMissingColumns=True)
+        return res
     raise ValueError(f"unsupported connector {cname!r}")
 
 

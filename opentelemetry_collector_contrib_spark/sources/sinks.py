@@ -167,3 +167,32 @@ def write_grouped_counts(df: DataFrame, out_dir: str, group_cols: list[str]) -> 
     df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("count")).write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, "counts"))
+
+
+def failover_write(
+    df: DataFrame,
+    sinks: list,
+    logger=None,
+) -> int:
+    """``connector/failoverconnector`` as a sink policy: try each sink
+    callable (``fn(df) -> None``) in priority order; the first that succeeds
+    wins, failures fall through to the next level — the reference's
+    priority-level consumer rotation (failoverconnector README: levels with
+    retry), collapsed to its batch meaning (per-write failover, no
+    time-based retry state since a batch write either commits or raises).
+
+    Returns the 0-based index of the sink that succeeded; raises the LAST
+    error when every level fails (matching the reference's "all levels
+    exhausted" propagation).
+    """
+    last_err: Exception | None = None
+    for i, sink in enumerate(sinks):
+        try:
+            sink(df)
+            return i
+        except Exception as e:  # noqa: BLE001 — any sink failure falls through
+            last_err = e
+            if logger is not None:
+                logger.warning("failover: sink %d failed: %s", i, e)
+    assert last_err is not None
+    raise last_err

@@ -752,3 +752,40 @@ def test_loadbalancing_exporter_in_config(spark, config, tmp_path):
         F.count_distinct("endpoint").alias("n")
     ).collect()
     assert per_key and all(r.n == 1 for r in per_key)
+
+
+def test_signaltometrics_connector_in_config(spark, config):
+    """connector/signaltometricsconnector via YAML: logs → metrics with an
+    OTTL value expression, OR'd conditions, and attribute defaults."""
+    cfg = dict(config)
+    cfg["processors"] = {}
+    cfg["connectors"] = {
+        "signaltometrics": {
+            "logs": [
+                {
+                    "name": "logrecord.count",
+                    "sum": {"value": "1", "monotonic": True},
+                    "attributes": [{"key": "sev", "default_value": "NONE"}],
+                },
+                {
+                    "name": "msg.len.sum",
+                    "sum": {"value": "Len(msg)"},
+                    "conditions": ['sev == "ERROR"'],
+                },
+            ]
+        }
+    }
+    cfg["service"] = {
+        "pipelines": {
+            "logs/in": {"receivers": ["filelog"], "exporters": ["signaltometrics"]},
+            "metrics/out": {"receivers": ["signaltometrics"], "exporters": []},
+        }
+    }
+    t = load_collector_config(spark, cfg)
+    rows = t.frames["metrics/out"].collect()
+    counts = {r.sev: r.value for r in rows if r.metric_name == "logrecord.count"}
+    # LINES: ERROR x2, INFO x2, WARN x1, DEBUG x1 + 1 unparseable (sev null -> NONE)
+    assert counts["ERROR"] == 2 and counts.get("NONE") == 1
+    msum = [r.value for r in rows if r.metric_name == "msg.len.sum"]
+    # 'boom in auth'(12) + 'crash in db'(11)
+    assert msum == [23]

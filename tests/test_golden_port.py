@@ -317,3 +317,43 @@ def test_geoip_not_found_golden(spark):
         "_src_ip", "city"
     )
     compare_logs(read_logs(f"{base}/output-logs.yaml"), df_to_records(out))
+
+
+def test_otlpjson_logs_golden(spark):
+    """otlpjsonconnector logsToLogs pair (logs.go:43-79): a log whose body
+    is an OTLP/JSON Logs payload is unmarshalled and its embedded records
+    re-emitted; invalid payloads (logs_test.go:128) produce nothing."""
+    from opentelemetry_collector_contrib_spark.operators.connectors import (
+        otlpjson_logs_connector,
+    )
+
+    base = f"{REF}/connector/otlpjsonconnector/testdata/logsToLogs"
+    df = records_to_df(spark, read_logs(f"{base}/input-log.yaml"))
+    out = otlpjson_logs_connector(df)
+    got = [
+        {
+            "resource": dict(r.resource or {}),
+            "attributes": dict(r.attributes or {}),
+            "body": r.body,
+            "severity_text": r.severity_text,
+            "time_unix_nano": r.time_unix_nano,
+        }
+        for r in out.collect()
+    ]
+    expected = read_logs(f"{base}/output-log.yaml")
+    compare_logs(expected, got, ignore_time=False)
+    # the non-attr record fields come through too
+    r = out.first()
+    assert r.severity_number == 9 and r.trace_id == "08040201000000000000000000000000"
+    assert r.span_id == "0102040800000000" and r.dropped_attributes_count == 1
+
+    # invalid payload: sniffed as a log payload but unparseable -> skipped
+    bad = spark.createDataFrame(
+        [({}, {}, '{"resourceLogs": [invalid json', None, None)],
+        "resource map<string,string>, attributes map<string,string>, "
+        "body string, severity_text string, time_unix_nano long",
+    )
+    assert otlpjson_logs_connector(bad).count() == 0
+    # metric payload: skipped silently (logs.go:69-71)
+    metric = bad.withColumn("body", F.lit('{"resourceMetrics": []}'))
+    assert otlpjson_logs_connector(metric).count() == 0

@@ -72,3 +72,167 @@ class TestFanIn:
         out = connectors.fan_in(a, b)
         assert out.count() == 2
         assert set(out.columns) == {"id", "a", "b"}
+
+
+class TestSignalToMetrics:
+    """connector/signaltometricsconnector (logs signal): per-batch OTTL
+    value/conditions → sum/gauge/histogram aggregations keyed by attribute
+    tuples (config/config.go:232-311, aggregator/*.go)."""
+
+    @pytest.fixture(scope="class")
+    def logs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "GET", 10, {"svc": "a"}),
+                (2, "GET", 30, {"svc": "a"}),
+                (3, "POST", 100, {"svc": "b"}),
+                (4, "POST", 7, {}),  # missing svc attribute
+            ],
+            "event_id int, method string, latency int, attributes map<string,string>",
+        )
+
+    def test_sum_with_conditions_and_default(self, spark, logs):
+        from opentelemetry_collector_contrib_spark.operators.connectors import (
+            SignalMetricDef,
+            signal_to_metrics,
+        )
+
+        out = signal_to_metrics(
+            logs,
+            [
+                SignalMetricDef(
+                    name="lat.sum",
+                    value="latency",
+                    metric_type="sum",
+                    conditions=['method == "GET"', 'method == "POST"'],
+                    attributes=[{"key": "svc", "default_value": "unknown"}],
+                )
+            ],
+        )["lat.sum"]
+        got = {r.svc: r.value for r in out.collect()}
+        assert got == {"a": 40, "b": 100, "unknown": 7}
+
+    def test_missing_attribute_drops_record(self, spark, logs):
+        from opentelemetry_collector_contrib_spark.operators.connectors import (
+            SignalMetricDef,
+            signal_to_metrics,
+        )
+
+        out = signal_to_metrics(
+            logs,
+            [
+                SignalMetricDef(
+                    name="n", value="1", metric_type="sum",
+                    attributes=[{"key": "svc"}],  # no default, not optional
+                )
+            ],
+        )["n"]
+        got = {r.svc: r.value for r in out.collect()}
+        assert got == {"a": 2, "b": 1}  # event 4 dropped
+
+    def test_gauge_and_histogram(self, spark, logs):
+        from opentelemetry_collector_contrib_spark.operators.connectors import (
+            SignalMetricDef,
+            signal_to_metrics,
+        )
+
+        out = signal_to_metrics(
+            logs,
+            [
+                SignalMetricDef(
+                    name="lat.gauge", value="latency", metric_type="gauge",
+                    attributes=[{"key": "svc", "default_value": "unknown"}],
+                ),
+                SignalMetricDef(
+                    name="lat.hist", value="latency", metric_type="histogram",
+                    buckets=[10, 50],
+                ),
+            ],
+            order_col="event_id",
+        )
+        g = {r.svc: r.value for r in out["lat.gauge"].collect()}
+        # gauge = last-written per tuple (max event_id order)
+        assert g == {"a": 30, "b": 100, "unknown": 7}
+        h = out["lat.hist"].collect()[0]
+        assert h["count"] == 4 and h["sum"] == 147
+        assert h["le_10"] == 2 and h["le_50"] == 1 and h["le_inf"] == 1
+
+    def test_ottl_value_expression(self, spark, logs):
+        from opentelemetry_collector_contrib_spark.operators.connectors import (
+            SignalMetricDef,
+            signal_to_metrics,
+        )
+
+        out = signal_to_metrics(
+            logs,
+            [SignalMetricDef(name="d", value="Double(latency) * 2.0", metric_type="sum")],
+        )["d"]
+        assert out.collect()[0].value == 294.0
+
+
+class TestServiceGraphAndFriends:
+    def test_service_graph_edges(self, spark):
+        from opentelemetry_collector_contrib_spark.operators.connectors import (
+            service_graph,
+        )
+
+        spans = spark.createDataFrame(
+            [
+                # trace t1: frontend -CLIENT-> backend (server span child)
+                ("t1", "s1", None, "CLIENT", "frontend", 30, False),
+                ("t1", "s2", "s1", "SERVER", "backend", 20, False),
+                # trace t1: backend -CLIENT-> db, db side failed
+                ("t1", "s3", "s2", "CLIENT", "backend", 15, False),
+                ("t1", "s4", "s3", "SERVER", "db", 12, True),
+                # trace t2: frontend -> backend again
+                ("t2", "s5", None, "CLIENT", "frontend", 300, False),
+                ("t2", "s6", "s5", "SERVER", "backend", 250, False),
+                # unmatched client (no server child) produces no edge
+                ("t2", "s7", "s6", "CLIENT", "backend", 5, False),
+            ],
+            "trace_id string, span_id string, parent_span_id string, "
+            "span_kind string, service string, duration int, failed boolean",
+        )
+        out = {
+            (r.client_service, r.server_service): r
+            for r in service_graph(spans, failed_col="failed", buckets=[50, 100]).collect()
+        }
+        fe_be = out[("frontend", "backend")]
+        assert fe_be.req_total == 2 and fe_be.req_failed_total == 0
+        assert fe_be.client_duration_sum == 330 and fe_be.server_duration_sum == 270
+        assert fe_be.server_le_50 == 1 and fe_be.server_le_inf == 1
+        be_db = out[("backend", "db")]
+        assert be_db.req_total == 1 and be_db.req_failed_total == 1
+        assert len(out) == 2  # unmatched client never forms an edge
+
+    def test_round_robin(self, spark):
+        from opentelemetry_collector_contrib_spark.operators.connectors import (
+            round_robin,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(10)], "i int")
+        out = round_robin(df, 3, "i")
+        got = {r.i: r.endpoint for r in out.collect()}
+        assert got == {i: i % 3 for i in range(10)}
+
+    def test_failover_write(self, spark, tmp_path):
+        from opentelemetry_collector_contrib_spark.sources.sinks import failover_write
+
+        df = spark.createDataFrame([(1,)], "v int")
+        calls = []
+
+        def bad(d):
+            calls.append("bad")
+            raise RuntimeError("sink down")
+
+        def good(d):
+            calls.append("good")
+            d.write.mode("overwrite").parquet(str(tmp_path / "ok"))
+
+        assert failover_write(df, [bad, good]) == 1
+        assert calls == ["bad", "good"]
+        assert spark.read.parquet(str(tmp_path / "ok")).count() == 1
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            failover_write(df, [bad, bad])
