@@ -1,0 +1,159 @@
+"""Document quality signals for training-data curation.
+
+Implements the published Gopher / MassiveText rule family (Rae et al. 2021,
+table A1) and the RefinedWeb-style repetition measures (Penedo et al. 2023
+§3; themselves from Rae et al. appendix) over the ``documents`` table —
+pure Column expressions where a per-doc pass suffices, an explode+hash-agg
+where per-gram counting is needed (shuffle keyed by 8-byte gram hashes, the
+same slim-key discipline as the dedup family; scales like a word count).
+
+These are the filters a 100 TB curation run applies BEFORE dedup — cheap,
+embarrassingly parallel, no joins except the per-gram count aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Gopher uses "must contain ≥2 of a small English stopword set"
+STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Gopher rule inputs + the combined ``gopher_pass`` verdict.
+
+    Columns added (thresholds from Rae et al. 2021 table A1):
+    n_words (50..100_000), mean_word_len (3..10), symbol_word_ratio (<0.1,
+    symbols = ``# …``), frac_alpha_words (≥0.8 words contain ≥1 alphabetic
+    char), n_stop_words (≥2 distinct hits from the stopword set).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    symbols = F.size(F.regexp_extract_all(text_col, F.lit(r"#|\.\.\.|…"), 0))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    lw = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+    n_stop = sum(
+        F.when(lw.contains(f" {s} "), 1).otherwise(0) for s in STOP_WORDS
+    )
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn(
+            "mean_word_len",
+            F.round(total_chars / F.greatest(n_words, F.lit(1)), 4),
+        )
+        .withColumn(
+            "symbol_word_ratio",
+            F.round(symbols / F.greatest(n_words, F.lit(1)), 4),
+        )
+        .withColumn(
+            "frac_alpha_words",
+            F.round(alpha_words / F.greatest(n_words, F.lit(1)), 4),
+        )
+        .withColumn("n_stop_words", n_stop.cast("int"))
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") < 0.1)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("n_stop_words") >= 2),
+    )
+
+
+def top_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """(id_col, n_words, top_ngram_count, top_ngram_frac): fraction of words
+    covered by the single most frequent word n-gram — the Gopher/RefinedWeb
+    "top n-gram character fraction" repetition measure in word form.
+
+    Shape: per-doc word-hash n-gram windows (WITH duplicates — counting is
+    the point, unlike the dedup family's distinct sets) → explode_outer (see
+    dedup.py: plain explode re-inlines the HOF tree into an inferred scan
+    filter) → count per (id, gram) → max per id. Two hash-aggs on slim
+    keys; no text in any shuffle.
+    """
+    k = n
+    df = df.filter(F.col(text_col).isNotNull())
+    wh = F.transform(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.xxhash64(w)
+    )
+    d = df.select(F.col(id_col).alias("id"), wh.alias("_wh"))
+    nw = F.size("_wh")
+    idx = F.sequence(F.lit(0), F.greatest(nw - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(*[F.get(F.col("_wh"), i + j) for j in range(k)])
+    )
+    ex = d.select(
+        "id", F.size("_wh").alias("n_words"), grams.alias("_g")
+    ).select("id", "n_words", F.explode_outer("_g").alias("gram"))
+    per_gram = ex.groupBy("id", "n_words", "gram").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        per_gram.groupBy("id", "n_words")
+        .agg(F.max("_c").alias("top_ngram_count"))
+        .withColumn(
+            "top_ngram_frac",
+            F.round(
+                F.least(
+                    F.col("top_ngram_count") * k / F.greatest(F.col("n_words"), F.lit(1)),
+                    F.lit(1.0),
+                ),
+                4,
+            ),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def duplicate_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """(id_col, n_words, dup_ngram_frac): fraction of n-gram windows that
+    are duplicates of an earlier identical window in the SAME doc — the
+    Gopher "fraction of words in duplicated n-grams" family (word form).
+
+    Window count minus distinct count, over the window total. Same
+    explode + hash-agg shape as ``top_ngram_fraction``.
+    """
+    k = n
+    df = df.filter(F.col(text_col).isNotNull())
+    wh = F.transform(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.xxhash64(w)
+    )
+    d = df.select(F.col(id_col).alias("id"), wh.alias("_wh"))
+    nw = F.size("_wh")
+    idx = F.sequence(F.lit(0), F.greatest(nw - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(*[F.get(F.col("_wh"), i + j) for j in range(k)])
+    )
+    ex = d.select(
+        "id", F.size("_wh").alias("n_words"), grams.alias("_g")
+    ).select("id", "n_words", F.explode_outer("_g").alias("gram"))
+    return (
+        ex.groupBy("id", "n_words")
+        .agg(
+            F.count(F.lit(1)).alias("_total"),
+            F.count_distinct("gram").alias("_distinct"),
+        )
+        .withColumn(
+            "dup_ngram_frac",
+            F.round((F.col("_total") - F.col("_distinct")) / F.col("_total"), 4),
+        )
+        .drop("_total", "_distinct")
+        .withColumnRenamed("id", id_col)
+    )

@@ -1359,28 +1359,85 @@ SELECT origin, count(*) AS n FROM (
 # ------------------------------------------------------------- text analysis
 
 def q_text_quality(spark, sf_dir):
-    """Quality scoring + token counting in one pass: whitespace-token count,
-    BPE-ish regex token count, punctuation count, alpha ratio."""
+    """Quality scoring in one row (r4: extended with the Gopher rule family
+    and the top-2-gram repetition measure): token counts, punctuation/alpha
+    ratios, Gopher signals (mean word length, symbol ratio, alpha-word
+    fraction, stopword hits, combined verdict — Rae et al. 2021 table A1)
+    and the most-frequent-2-gram coverage fraction (repetition filter).
+    The oracle recomputes everything from strings in DuckDB."""
+    from ..operators import quality
+
     df = _t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), r"\s+")
-    return df.select(
-        "doc_id",
-        F.size(words).alias("ws_tokens"),
+    base = df.select(
+        "doc_id", "text",
         F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias("re_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(r"[.,!?;]"), 0)).alias("n_punct"),
         F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).alias("n_alpha"),
         F.length("text").alias("n_chars_seen"),
     )
+    g = quality.gopher_quality_signals(base)
+    rep = quality.top_ngram_fraction(df, n=2).select(
+        "doc_id", "top_ngram_count", "top_ngram_frac"
+    )
+    return g.join(rep, "doc_id").select(
+        "doc_id",
+        F.col("n_words").alias("ws_tokens"),
+        "re_tokens", "n_punct", "n_alpha", "n_chars_seen",
+        "mean_word_len", "symbol_word_ratio", "frac_alpha_words",
+        "n_stop_words", "gopher_pass",
+        F.col("top_ngram_count").cast("bigint").alias("top_ngram_count"),
+        "top_ngram_frac",
+    )
 
 
 SQL_TEXT_QUALITY = r"""
-SELECT doc_id,
-       len(string_split_regex(text, '\s+')) AS ws_tokens,
-       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS re_tokens,
-       len(regexp_extract_all(text, '[.,!?;]')) AS n_punct,
-       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-       length(text) AS n_chars_seen
-FROM documents
+WITH words AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+base AS (
+  SELECT doc_id, text, w, len(w) AS n_words,
+         list_sum(list_transform(w, x -> length(x))) AS total_chars,
+         len(regexp_extract_all(text, '#|\.\.\.|…')) AS symbols,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+         (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% be %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% that %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% have %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% with %' THEN 1 ELSE 0 END) AS n_stop
+  FROM words
+),
+t2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(lw), 2)),
+                               i -> lw[i] || coalesce(' ' || lw[i+1], ''))) AS g
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS lw FROM documents)
+),
+top2 AS (
+  SELECT doc_id, max(c) AS top_ngram_count
+  FROM (SELECT doc_id, g, count(*) AS c FROM t2 GROUP BY 1, 2) GROUP BY 1
+)
+SELECT b.doc_id,
+       b.n_words AS ws_tokens,
+       len(regexp_extract_all(b.text, '\w+|[^\w\s]')) AS re_tokens,
+       len(regexp_extract_all(b.text, '[.,!?;]')) AS n_punct,
+       length(regexp_replace(b.text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       length(b.text) AS n_chars_seen,
+       round(b.total_chars / greatest(b.n_words, 1), 4) AS mean_word_len,
+       round(b.symbols / greatest(b.n_words, 1), 4) AS symbol_word_ratio,
+       round(b.alpha_words / greatest(b.n_words, 1), 4) AS frac_alpha_words,
+       b.n_stop AS n_stop_words,
+       (b.n_words BETWEEN 50 AND 100000
+        AND round(b.total_chars / greatest(b.n_words, 1), 4) BETWEEN 3 AND 10
+        AND round(b.symbols / greatest(b.n_words, 1), 4) < 0.1
+        AND round(b.alpha_words / greatest(b.n_words, 1), 4) >= 0.8
+        AND b.n_stop >= 2) AS gopher_pass,
+       t.top_ngram_count,
+       round(least(t.top_ngram_count * 2.0 / greatest(b.n_words, 1), 1.0), 4) AS top_ngram_frac
+FROM base b JOIN top2 t USING (doc_id)
 """
 
 
