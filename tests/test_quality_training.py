@@ -135,3 +135,27 @@ class TestStratifiedMix:
         )
         out = training.stratified_token_mix(df, {"rare": 1.0}, token_budget=10_000)
         assert out.count() == 2  # fraction capped at 1.0
+
+
+class TestPackScaleProperties:
+    def test_multi_partition_conservation(self, spark):
+        """Packing is per-partition: N partitions pack independently, total
+        real tokens are conserved, per-partition tail waste <= 1 padded
+        sequence, and seq_ids are globally unique."""
+        import random
+
+        rng = random.Random(99)
+        rows = [
+            (f"d{i:04d}", [rng.randrange(1000) for _ in range(rng.randrange(1, 70))])
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id string, tokens array<int>"
+        ).repartition(8)
+        out = training.pack_sequences(df, seq_len=64).collect()
+        assert sum(r.n_real_tokens for r in out) == sum(len(t) for _, t in rows)
+        assert all(len(r.tokens) == 64 for r in out)
+        padded = [r for r in out if r.n_pad > 0]
+        assert len(padded) <= 8  # at most one tail per partition
+        ids = [r.seq_id for r in out]
+        assert len(ids) == len(set(ids))
