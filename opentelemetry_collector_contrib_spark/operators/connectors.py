@@ -287,22 +287,29 @@ def otlpjson_logs_connector(df: DataFrame, body_col: str = "body") -> DataFrame:
     plog JSON schema → three-level explode (resourceLogs → scopeLogs →
     logRecords) → resource/record attribute maps via map_from_entries. All
     JVM Column work, no UDF; the sniff prunes non-log payloads before the
-    parse. (The per-level inferred size>0 filters re-evaluate from_json once
-    more per row — a 2× constant on matched rows, not the HOF blowup class.)
+    parse. explode_outer + post-filter at every level so the inferred
+    size>0 scan filters don't re-evaluate from_json per level (the
+    dedup.py explode-over-computed-array lesson); a null element also IS a
+    legitimate state here (empty resourceLogs/scopeLogs arrays) and the
+    post-filters drop it explicitly.
     """
     src = F.col(body_col)
     parsed = df.filter(src.rlike(OTLPJSON_LOG_RE)).select(
         F.from_json(src, _OTLP_LOGS_SCHEMA).alias("_pl")
     )
-    rl = parsed.filter(F.col("_pl").isNotNull()).select(
-        F.explode("_pl.resourceLogs").alias("_rl")
+    rl = (
+        parsed.filter(F.col("_pl").isNotNull())
+        .select(F.explode_outer("_pl.resourceLogs").alias("_rl"))
+        .filter(F.col("_rl").isNotNull())
     )
     lr = (
         rl.select(
             _otlp_attr_map(F.col("_rl.resource.attributes")).alias("resource"),
-            F.explode("_rl.scopeLogs").alias("_sl"),
+            F.explode_outer("_rl.scopeLogs").alias("_sl"),
         )
-        .select("resource", F.explode("_sl.logRecords").alias("_lr"))
+        .filter(F.col("_sl").isNotNull())
+        .select("resource", F.explode_outer("_sl.logRecords").alias("_lr"))
+        .filter(F.col("_lr").isNotNull())
     )
     return lr.select(
         "resource",
@@ -343,6 +350,7 @@ def signal_to_metrics(
     overrides: dict[str, str] | None = None,
     error_mode: str = "ignore",
     order_col: str | None = None,
+    window_col: str | None = None,
 ) -> dict[str, DataFrame]:
     """signaltometrics connector, logs signal: per-batch aggregation only
     (the reference performs no stateful/time aggregation — README "Metrics
@@ -388,7 +396,9 @@ def signal_to_metrics(
                 cur = cur.filter(acol.isNotNull())
             dims.append(acol.alias(key.replace(".", "_")))
         cur = cur.withColumn("_s2m_value", val)
-        gb = cur.groupBy(*dims)
+        # window_col (streaming): the tumbling window rides the grouping so
+        # the streaming form is ONE stateful aggregation per def
+        gb = cur.groupBy(*([F.col(window_col)] if window_col else []), *dims)
         if d.metric_type == "sum":
             out[d.name] = gb.agg(F.sum("_s2m_value").alias("value"))
         elif d.metric_type == "gauge":
@@ -417,7 +427,7 @@ def signal_to_metrics(
             out[d.name] = (
                 cur.filter(F.col("_s2m_value") > 0)
                 .withColumn("bucket_idx", idx)
-                .groupBy(*dims, "bucket_idx")
+                .groupBy(*([F.col(window_col)] if window_col else []), *dims, "bucket_idx")
                 .agg(F.count(F.lit(1)).alias("bucket_count"))
             )
         else:

@@ -335,3 +335,58 @@ def streaming_span_metrics(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_signal_to_metrics(
+    spark: SparkSession,
+    input_df: DataFrame,
+    out_dir: str,
+    defs: list,
+    ts_col: str = "ts",
+    interval: str = "10 seconds",
+    watermark: str = "30 seconds",
+    overrides: dict[str, str] | None = None,
+):
+    """signaltometrics connector in streaming form: the reference emits one
+    metric set per Consume* call (no cross-batch state — README "Metrics
+    types"); the streaming analog makes the batch boundary explicit as a
+    tumbling window, watermarked so state stays bounded.
+
+    Reuses the batch operator per def over the windowed frame; each def's
+    aggregate is its own sink subdirectory (``out_dir/<metric_name>``) so
+    downstream pipelines subscribe per metric. Update-mode emission per
+    micro-batch, same reader contract as streaming_span_metrics.
+    """
+    from ..operators.connectors import signal_to_metrics
+
+    windowed = (
+        input_df.withWatermark(ts_col, watermark)
+        .withColumn("_w", F.window(ts_col, interval))
+    )
+    out = signal_to_metrics(windowed, defs, overrides=overrides, window_col="_w")
+    queries = []
+    for mname, frame in out.items():
+        frame = frame.select(
+            F.col("_w.start").alias("window_start"),
+            *[c for c in frame.columns if c != "_w"],
+        )
+
+        def make_writer(name):
+            def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(os.path.join(out_dir, name.replace("/", "_")))
+
+            return write_batch
+
+        queries.append(
+            frame.writeStream.foreachBatch(make_writer(mname))
+            .option(
+                "checkpointLocation",
+                os.path.join(out_dir, f"_ck_s2m_{mname.replace('/', '_')}"),
+            )
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    return queries

@@ -168,3 +168,70 @@ def test_streaming_span_metrics(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) >= 4
+
+
+def test_streaming_signal_to_metrics(spark, tmp_path):
+    """signaltometrics in streaming form: watermarked tumbling-window sums
+    must agree with the batch operator windowed over the same rows."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.connectors import (
+        SignalMetricDef,
+        signal_to_metrics,
+    )
+    from opentelemetry_collector_contrib_spark.streaming.stream import (
+        streaming_signal_to_metrics,
+    )
+
+    inp = tmp_path / "s2m_in"
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (
+            base + datetime.timedelta(seconds=i % 25),
+            "GET" if i % 3 else "POST",
+            (i * 7) % 50,
+        )
+        for i in range(300)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, method string, latency int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(inp))
+
+    defs = [
+        SignalMetricDef(
+            name="lat.sum", value="latency", metric_type="sum",
+            conditions=['method == "GET"'],
+        )
+    ]
+    out = str(tmp_path / "s2m_out")
+    stream_in = spark.readStream.schema(
+        "ts timestamp, method string, latency int"
+    ).parquet(str(inp))
+    queries = streaming_signal_to_metrics(
+        spark, stream_in, out, defs, ts_col="ts", interval="10 seconds"
+    )
+    for q in queries:
+        q.awaitTermination(120)
+
+    got_df = spark.read.parquet(out + "/lat.sum")
+    w = __import__("pyspark").sql.Window.partitionBy("window_start").orderBy(
+        F.desc("batch_id")
+    )
+    got = {
+        str(r.window_start): r.value
+        for r in got_df.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .collect()
+    }
+
+    batch_df = spark.createDataFrame(rows, "ts timestamp, method string, latency int")
+    expect = {
+        str(r._w.start): r.value
+        for r in signal_to_metrics(
+            batch_df.withColumn("_w", F.window("ts", "10 seconds")),
+            defs, window_col="_w",
+        )["lat.sum"].collect()
+    }
+    assert got == expect and len(expect) >= 2
