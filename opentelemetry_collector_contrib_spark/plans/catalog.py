@@ -1367,7 +1367,9 @@ def q_text_quality(spark, sf_dir):
     The oracle recomputes everything from strings in DuckDB."""
     from ..operators import quality
 
-    df = _t(spark, sf_dir, "documents")
+    df = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # regex/HOF-bound; the single small parquet file = one task
     words = F.split(F.col("text"), r"\s+")
     base = df.select(
         "doc_id", "text",
