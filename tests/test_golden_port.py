@@ -52,6 +52,18 @@ def read_logs(path: str) -> list[dict]:
         }
         for sl in rl.get("scopeLogs", []):
             for lr in sl.get("logRecords", []):
+                body = lr.get("body") or {}
+                if "kvlistValue" in body:
+                    # kvlist bodies canonicalize to sorted JSON — equality
+                    # semantics preserved, fits the flat string body model
+                    import json as _json
+
+                    bval = _json.dumps(
+                        {v["key"]: _val(v["value"]) for v in body["kvlistValue"]["values"]},
+                        sort_keys=True,
+                    )
+                else:
+                    bval = body.get("stringValue")
                 out.append(
                     {
                         "resource": res,
@@ -59,7 +71,7 @@ def read_logs(path: str) -> list[dict]:
                             a["key"]: _val(a["value"])
                             for a in lr.get("attributes") or []
                         },
-                        "body": (lr.get("body") or {}).get("stringValue"),
+                        "body": bval,
                         "severity_text": lr.get("severityText"),
                         "time_unix_nano": int(lr["timeUnixNano"])
                         if lr.get("timeUnixNano")
@@ -357,3 +369,60 @@ def test_otlpjson_logs_golden(spark):
     # metric payload: skipped silently (logs.go:69-71)
     metric = bad.withColumn("body", F.lit('{"resourceMetrics": []}'))
     assert otlpjson_logs_connector(metric).count() == 0
+
+
+def test_logdedup_include_fields_golden(spark):
+    """logdedupprocessor TestProcessorIncludeFields (processor_test.go:
+    375-447, "one attribute field" case): include_fields=
+    [attributes.dedup_key] makes ONLY that field the dedup key; the emitted
+    record is the FIRST record's full content plus log_count."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import log_dedup
+
+    base = f"{REF}/processor/logdedupprocessor/testdata"
+    recs_in = read_logs(f"{base}/input/includeFieldsLogs.yaml")
+    rows = [
+        (
+            i,
+            {k: _s(v) for k, v in r["resource"].items()},
+            {k: _s(v) for k, v in r["attributes"].items()},
+            r["body"],
+            r["severity_text"],
+            r["time_unix_nano"],
+        )
+        for i, r in enumerate(recs_in)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "_idx int, resource map<string,string>, attributes map<string,string>, "
+        "body string, severity_text string, time_unix_nano long",
+    )
+    keyed = df.withColumn(
+        "_ts", F.timestamp_micros((F.col("time_unix_nano") / 1000).cast("long"))
+    ).withColumn("_k", F.element_at("attributes", "dedup_key"))
+    agg = log_dedup(keyed, ["_k"], "_ts", "10 minutes")
+    # the reference emits the FIRST CONSUMED record of each group
+    # (processor.go dedups in arrival order) — arrival = input order, _idx
+    first = keyed.groupBy("_k").agg(
+        F.min_by(
+            F.struct("resource", "attributes", "body", "severity_text"), "_idx"
+        ).alias("f")
+    )
+    recs = []
+    for r in agg.join(first, "_k").collect():
+        attrs = dict(r.f.attributes or {})
+        attrs["log_count"] = r.log_count
+        attrs["first_observed_timestamp"] = str(r.first_observed_timestamp)
+        attrs["last_observed_timestamp"] = str(r.last_observed_timestamp)
+        recs.append(
+            {
+                "resource": dict(r.f.resource or {}),
+                "attributes": attrs,
+                "body": r.f.body,
+                "severity_text": r.f.severity_text,
+            }
+        )
+    compare_logs(
+        read_logs(f"{base}/expected/includeFieldsLogs.yaml"),
+        recs,
+        ignore_attr_values=_DEDUP_IGNORES,
+    )
