@@ -512,3 +512,53 @@ def round_robin(df: DataFrame, n: int, order_col: str, out: str = "endpoint") ->
 
     w = Window.orderBy(order_col)
     return df.withColumn(out, ((F.row_number().over(w) - 1) % n).cast("int"))
+
+
+# ---------------------------------------------------------------- exceptions
+
+def exceptions_connector(
+    df: DataFrame,
+    dimensions: list[str] | None = None,
+    events_col: str = "events",
+    service_col: str = "service",
+    span_name_col: str = "span_name",
+    kind_col: str = "span_kind",
+    status_col: str = "status_code",
+    exemplars: bool = False,
+    trace_col: str = "trace_id",
+) -> DataFrame:
+    """``connector/exceptionsconnector`` (traces→metrics): count span events
+    named ``exception`` per (service, span name, kind, status code) plus
+    configured extra dimensions resolved event-attrs-first
+    (``connector_metrics.go:75-108``, buildDimensionKVs). Spans without a
+    service name are skipped like the reference (resource service.name is
+    mandatory, ``connector_metrics.go:79-82``).
+
+    Span events are modeled as ``array<struct<name:string,
+    attributes:map<string,string>>>``; the in-memory keyed exception store
+    is one explode + hash-agg. ``exemplars`` attaches a deterministic
+    (max trace id) exemplar per group instead of the reference's
+    rotating sample.
+    """
+    exc = (
+        df.filter(F.col(service_col).isNotNull())
+        .select(
+            F.col(service_col).alias("service_name"),
+            F.col(span_name_col).alias("span_name"),
+            F.col(kind_col).alias("span_kind"),
+            F.col(status_col).alias("status_code"),
+            F.col(trace_col).alias("_tid"),
+            F.explode_outer(events_col).alias("_ev"),
+        )
+        .filter(F.col("_ev").isNotNull() & (F.col("_ev.name") == "exception"))
+    )
+    dim_cols = [
+        F.element_at(F.col("_ev.attributes"), d).alias(d.replace(".", "_"))
+        for d in (dimensions or [])
+    ]
+    aggs = [F.count(F.lit(1)).alias("exceptions")]
+    if exemplars:
+        aggs.append(F.max("_tid").alias("exemplar_trace"))
+    return exc.groupBy(
+        "service_name", "span_name", "span_kind", "status_code", *dim_cols
+    ).agg(*aggs)

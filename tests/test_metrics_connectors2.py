@@ -236,3 +236,43 @@ class TestServiceGraphAndFriends:
 
         with _pytest.raises(RuntimeError):
             failover_write(df, [bad, bad])
+
+
+class TestExceptionsConnector:
+    def test_exception_event_counts(self, spark):
+        from opentelemetry_collector_contrib_spark.operators.connectors import (
+            exceptions_connector,
+        )
+
+        spans = spark.createDataFrame(
+            [
+                ("svc-a", "GET /x", "SERVER", "ERROR", "t1",
+                 [{"name": "exception",
+                   "attributes": {"exception.type": "IOError", "exception.message": "m"}},
+                  {"name": "other", "attributes": {}}]),
+                ("svc-a", "GET /x", "SERVER", "ERROR", "t2",
+                 [{"name": "exception",
+                   "attributes": {"exception.type": "IOError", "exception.message": "n"}}]),
+                ("svc-b", "POST /y", "CLIENT", "OK", "t3",
+                 [{"name": "exception",
+                   "attributes": {"exception.type": "ValueError", "exception.message": "v"}}]),
+                # no events at all
+                ("svc-b", "POST /y", "CLIENT", "OK", "t4", []),
+                # no service name -> skipped entirely (reference semantics)
+                (None, "GET /z", "SERVER", "ERROR", "t5",
+                 [{"name": "exception", "attributes": {"exception.type": "X"}}]),
+            ],
+            "service string, span_name string, span_kind string, status_code string, "
+            "trace_id string, events array<struct<name:string, attributes:map<string,string>>>",
+        )
+        out = {
+            (r.service_name, r.span_name, r.exception_type): r
+            for r in exceptions_connector(
+                spans, dimensions=["exception.type"], exemplars=True
+            ).collect()
+        }
+        a = out[("svc-a", "GET /x", "IOError")]
+        assert a.exceptions == 2 and a.exemplar_trace == "t2"
+        b = out[("svc-b", "POST /y", "ValueError")]
+        assert b.exceptions == 1
+        assert len(out) == 2  # no-service and no-event spans contribute nothing
