@@ -373,3 +373,43 @@ def test_canonicalize_url_idempotent(spark):
     ).collect()
     for r in out:
         assert r.c1 == r.c2, r
+
+
+def test_line_dedup_roundtrip_property(spark):
+    """Property: with a document-frequency cap no line can exceed, line_dedup
+    is the identity on text — for random corpora and regex-metachar
+    separators (the split is escaped; concat_ws rebuilds literally)."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seps = ["\n", "|", ".", "\r\n", "||", "@@"]
+    rng = random.Random(17)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "y2"]
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        sep=st.sampled_from(seps),
+        n_docs=st.integers(min_value=1, max_value=6),
+        seed=st.integers(min_value=0, max_value=10_000),
+    )
+    def check(sep, n_docs, seed):
+        r = random.Random(seed)
+        docs = []
+        for i in range(n_docs):
+            lines = [
+                " ".join(r.choices(vocab, k=r.randint(1, 4)))
+                for _ in range(r.randint(1, 5))
+            ]
+            docs.append((i, sep.join(lines)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {
+            r2.doc_id: r2.text
+            for r2 in dedup.line_dedup(
+                df, sep=sep, max_line_df=len(docs) + 1
+            ).collect()
+        }
+        assert out == dict(docs)
+
+    check()
