@@ -995,6 +995,10 @@ def _connector_output(cname, cspec, target_pipeline, pipelines, frames):
             src, dims, dur, explicit_buckets=buckets, exemplars=ex,
             trace_col=_field(cspec.get("trace_field") or "trace_id") if ex else None,
         )
+    if kind == "otlpjson":
+        # connector/otlpjsonconnector logs→logs: unmarshal OTLP/JSON bodies
+        # into flat records; non-log/invalid payloads skip (logs.go:43-79)
+        return conn.otlpjson_logs_connector(src, body_col=(cspec or {}).get("body_field", "body"))
     if kind == "signaltometrics":
         # connector/signaltometricsconnector config/config.go:232-311 — each
         # logs entry carries exactly one metric shape (sum/gauge/histogram/

@@ -789,3 +789,37 @@ def test_signaltometrics_connector_in_config(spark, config):
     msum = [r.value for r in rows if r.metric_name == "msg.len.sum"]
     # 'boom in auth'(12) + 'crash in db'(11)
     assert msum == [23]
+
+
+def test_otlpjson_connector_in_config(spark, config, tmp_path):
+    """connector/otlpjsonconnector via YAML: a logs pipeline whose records
+    carry OTLP/JSON payloads bridges into a second logs pipeline with the
+    embedded records unmarshalled."""
+    payload = (
+        '{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name",'
+        '"value":{"stringValue":"svc-a"}}]},"scopeLogs":[{"scope":{},'
+        '"logRecords":[{"severityNumber":9,"severityText":"Info",'
+        '"body":{"stringValue":"embedded hello"},"attributes":'
+        '[{"key":"k","value":{"stringValue":"v"}}]}]}]}]}'
+    )
+    log = tmp_path / "otlp.log"
+    log.write_text(payload + "\n" + '{"resourceMetrics": []}' + "\nnot json\n")
+    cfg = {
+        "receivers": {"filelog": {"include": [str(log)]}},
+        "processors": {},
+        "connectors": {"otlpjson": {}},
+        "exporters": {},
+        "service": {
+            "pipelines": {
+                "logs/in": {"receivers": ["filelog"], "exporters": ["otlpjson"]},
+                "logs/extracted": {"receivers": ["otlpjson"], "exporters": []},
+            }
+        },
+    }
+    t = load_collector_config(spark, cfg)
+    rows = t.frames["logs/extracted"].collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.body == "embedded hello" and r.severity_text == "Info"
+    assert dict(r.resource) == {"service.name": "svc-a"}
+    assert dict(r.attributes) == {"k": "v"}
