@@ -523,7 +523,7 @@ def parse_structured_data(col: Column) -> Column:
 
 def syslog_parser(
     df: DataFrame, parse_from: str = "body", protocol: str = "rfc5424", on_error: str = "send",
-    mode: str = "arrow",
+    mode: str = "arrow", enable_octet_counting: bool = False,
 ) -> DataFrame:
     """RFC3164 / RFC5424 syslog parse with severity/facility from PRI.
 
@@ -537,6 +537,12 @@ def syslog_parser(
     ``regexp_extract`` evaluations of the same pattern ~2.5× at that group
     count (measured at sf0.1; pass ``mode="column"`` to stay JVM-only).
     """
+    if enable_octet_counting:
+        # RFC 6587 octet-counting frame: strip the `123 ` length prefix and
+        # parse the remainder (parser.go:202-205, octetCountingPrefixRegex)
+        df = df.withColumn(
+            parse_from, F.regexp_replace(F.col(parse_from), r"^[1-9]\d*\s", "")
+        )
     pat = _RFC5424_RE if protocol == "rfc5424" else _RFC3164_RE
     df = regex_parser(df, pat, parse_from=parse_from, on_error=on_error, mode=mode)
     pri = F.col("priority").try_cast("int")

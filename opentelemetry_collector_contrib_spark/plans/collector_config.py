@@ -158,7 +158,11 @@ def apply_stanza_operator(df: DataFrame, spec: dict) -> DataFrame:
     elif typ == "scope_name_parser":
         df = parsers.scope_name_parser(df, src)
     elif typ == "syslog_parser":
-        df = parsers.syslog_parser(df, src, protocol=spec.get("protocol", "rfc5424"))
+        df = parsers.syslog_parser(
+            df, src,
+            protocol=spec.get("protocol", "rfc5424"),
+            enable_octet_counting=bool(spec.get("enable_octet_counting")),
+        )
     elif typ == "add":
         val = spec.get("value")
         if isinstance(val, str) and val.startswith("EXPR("):

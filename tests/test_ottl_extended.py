@@ -120,6 +120,18 @@ class TestSyslogParser:
         }
         assert out[2].message == "empty"
 
+    def test_rfc5424_octet_counting(self, spark):
+        """RFC 6587 octet-counting frames: the `123 ` length prefix strips
+        before parsing (parser.go:202-205); without the flag the prefixed
+        line is a parse error."""
+        framed = "98 <165>1 2026-01-02T03:04:05Z host01 app 1234 ID47 - hello framed"
+        df = spark.createDataFrame([(framed,)], "body string")
+        r = syslog_parser(df, protocol="rfc5424", enable_octet_counting=True).first()
+        assert not r._parse_error and r.message == "hello framed"
+        assert r.hostname == "host01" and r.severity_number == 10
+        plain = syslog_parser(df, protocol="rfc5424").first()
+        assert plain._parse_error
+
     def test_rfc3164(self, spark):
         line = "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed"
         df = spark.createDataFrame([(line,)], "body string")
