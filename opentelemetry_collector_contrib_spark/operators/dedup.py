@@ -13,6 +13,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import portable_hash as ph
+
 
 def log_dedup(
     df: DataFrame,
@@ -69,7 +71,8 @@ def shingles(col: Column, k: int = 5) -> Column:
 
 
 def shingle_hash_frame(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, hs): distinct word k-shingle HASHES as array<long> — no shingle
     strings ever materialize.
@@ -84,7 +87,25 @@ def shingle_hash_frame(
     slowdown), while a bound column reference is an O(1) row-field read.
     Hash-set equality stands in for shingle-set equality (64-bit collisions
     negligible at any realistic corpus size).
+
+    ``hash_fn="portable"`` swaps both hash layers for the engine-portable
+    40-bit family (``functions/portable_hash.py``): word hash = md5-derived
+    w40, shingle hash = mix40(polynomial fold of the k word hashes). Same
+    plan shape and cost class; the output is bit-for-bit reproducible in
+    DuckDB SQL, which is what gives the minhash catalog row its oracle.
     """
+    if hash_fn == "portable":
+        wh = F.transform(F.split(F.lower(F.col(text_col)), r"\s+"), ph.w40_col)
+        d = df.select(F.col(id_col).alias("id"), wh.alias("_wh"))
+        n = F.size("_wh")
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        hs = F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: ph.mix40_col(ph.polyfold40_col(F.slice(F.col("_wh"), i + 1, k))),
+            )
+        )
+        return d.select("id", hs.alias("hs"))
     wh = F.transform(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.xxhash64(w)
     )
@@ -97,14 +118,39 @@ def shingle_hash_frame(
     return d.select("id", hs.alias("hs"))
 
 
-def minhash_signature_from_hashes(hash_col: Column, num_hashes: int = 64, seed: int = 1) -> Column:
+def minhash_salts(num_hashes: int, seed: int = 1) -> list[int]:
+    """Deterministic 40-bit per-function salts for the portable signature —
+    plain integer literals both Spark and DuckDB SQL embed verbatim."""
+    return [ph.salt40(f"mh{seed}:{i}") for i in range(num_hashes)]
+
+
+def minhash_signature_from_hashes(
+    hash_col: Column, num_hashes: int = 64, seed: int = 1, hash_fn: str = "xxhash64"
+) -> Column:
     """MinHash signature as array<long> from pre-hashed shingles (array<long>).
 
     The i-th hash function is xxhash64(h, seed+i) over the 8-byte shingle
     hash — each variable-length shingle STRING is hashed exactly once
     upstream; the 64 rehashes run over fixed 8-byte longs (~4× cheaper than
     re-hashing the string per function). Pure Column expressions, JVM-side.
+
+    ``hash_fn="portable"``: the i-th function is mix40(h XOR salt_i) over
+    portable 40-bit shingle hashes — same min-over-set structure, DuckDB-
+    reproducible output (the oracle embeds the identical salt literals).
     """
+    if hash_fn == "portable":
+        # NB: bind the salt via a factory, NOT a default arg — F.transform
+        # passes (element, index) to 2-parameter lambdas, silently shadowing
+        # a `lambda h, s=s:` binding with the array index.
+        def _fn(salt):
+            return lambda h: ph.mix40_col(h.bitwiseXOR(F.lit(salt)))
+
+        return F.array(
+            *[
+                F.array_min(F.transform(hash_col, _fn(s)))
+                for s in minhash_salts(num_hashes, seed)
+            ]
+        )
     return F.array(
         *[
             F.array_min(F.transform(hash_col, lambda h: F.xxhash64(h, F.lit(seed + i))))
@@ -134,6 +180,7 @@ def minhash_lsh_pairs(
     k_shingle: int = 5,
     jaccard_threshold: float = 0.7,
     max_bucket_size: int = 200,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
@@ -155,25 +202,32 @@ def minhash_lsh_pairs(
     # materialize shingles as a real column BEFORE the signature: the
     # signature references it num_hashes times, and Spark does no CSE across
     # those references — inline, the shingle build would run 32×/row.
-    hs = shingle_hash_frame(df, text_col, id_col, k_shingle)
-    base = hs.select("id", minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"))
+    hs = shingle_hash_frame(df, text_col, id_col, k_shingle, hash_fn=hash_fn)
+    base = hs.select(
+        "id", minhash_signature_from_hashes(F.col("hs"), num_hashes, hash_fn=hash_fn).alias("sig")
+    )
+    if hash_fn == "portable":
+        def band_hash(b):
+            return ph.mix40_col(
+                ph.polyfold40_col(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+            )
+    else:
+        def band_hash(b):
+            return F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
     banded = base.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
                     for b in range(bands)
                 ]
             )
@@ -210,15 +264,23 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(col: Column, bits: int = 64) -> Column:
+def simhash(col: Column, bits: int = 64, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash of whitespace tokens, as a long.
 
     Per-bit majority vote over xxhash64(token): bit_i(sig) = 1 iff
     sum_tokens(±1 by bit_i(hash)) > 0. Expressed with higher-order functions —
     JVM-side. O(bits) aggregate ops per row.
+
+    ``hash_fn="portable"`` votes over the 40-bit md5-derived word hash
+    instead (``bits`` must be ≤ 40) — DuckDB-reproducible output.
     """
+    if hash_fn == "portable" and bits > 40:
+        raise ValueError("portable simhash carries 40 hash bits")
     words = F.split(F.lower(col), r"\s+")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    if hash_fn == "portable":
+        hashes = F.transform(words, ph.w40_col)
+    else:
+        hashes = F.transform(words, lambda w: F.xxhash64(w))
 
     def _masks():
         return [F.lit(1 << i) if i < 63 else F.lit(-(2**63)) for i in range(bits)]

@@ -143,6 +143,80 @@ def lsh_topk(
     )
 
 
+def lsh_topk_deterministic(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 12,
+    bands: int = 4,
+    tag: str = "annlsh",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hyperplane-LSH top-k with engine-portable bucket assignment.
+
+    Same probe shape as ``lsh_topk`` (share ≥1 band with the query → exact
+    cosine on survivors), but the hyperplanes are deterministic Rademacher
+    (±1) vectors derived from ``functions/portable_hash.rademacher`` and the
+    per-plane dot products run over FLOOR-QUANTIZED integer components
+    (``floor(double(v) * scale)``). Integer sums are exact in any engine and
+    any summation order, so bucket membership — the one approximation-
+    defining decision — is bit-for-bit reproducible in DuckDB SQL: this is
+    the variant the correctness oracle pins. Column-only (no Python worker);
+    the numpy/BLAS ``lsh_topk`` stays the throughput path for wide ``bits``.
+    """
+    from ..functions import portable_hash as ph
+
+    dim = len(query)
+    planes = [ph.rademacher(f"{tag}:p{p}", dim) for p in range(bits)]
+    vec = F.transform(vec_col, lambda x: x.cast("double"))
+    vq = F.transform(vec, lambda x: F.floor(x * scale).cast("long"))
+    df = df.withColumn("_vq", vq)
+
+    def dot(plane):
+        w = F.array(*[F.lit(int(x)).cast("long") for x in plane])
+        return F.aggregate(
+            F.zip_with(F.col("_vq"), w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        )
+
+    sig = F.lit(0).cast("long")
+    for p in range(bits):
+        sig = sig + F.when(dot(planes[p]) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    df = df.withColumn("_sig", sig)
+
+    import math
+
+    qint = [math.floor(float(v) * scale) for v in query]
+    qsig = 0
+    for p in range(bits):
+        if sum(a * b for a, b in zip(qint, planes[p])) > 0:
+            qsig |= 1 << p
+
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    cond = None
+    for b in range(bands):
+        shift = b * band_bits
+        band_eq = (
+            F.shiftrightunsigned(F.col("_sig"), shift).bitwiseAND(F.lit(mask))
+        ) == ((qsig >> shift) & mask)
+        cond = band_eq if cond is None else (cond | band_eq)
+
+    qcol = F.array(*[F.lit(float(v)) for v in query])
+    vecd = F.transform(vec_col, lambda x: x.cast("double"))
+    return (
+        df.filter(cond)
+        .select(id_col, cosine(vecd, qcol).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     k: int = 16,

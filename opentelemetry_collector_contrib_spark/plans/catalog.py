@@ -1506,21 +1506,29 @@ LIMIT 20
 """
 
 
-# ------------------------------------------------- non-SQL-expressible (rows-only)
+# ---------------------------------------------- LSH rows (portable-hash oracles)
 
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs, each pair annotated with BOTH
     docs' SimHash signatures and their Hamming distance (simhash merged into
-    this row in r4 — both families are xxhash64-based, hence rows-only: no
-    DuckDB equivalent; semantics are pytest-verified against brute-force
-    Jaccard / bit-vote oracles in tests/test_dedup_similarity.py)."""
+    this row in r4). Runs in ``hash_fn="portable"`` mode (r5): the word /
+    shingle / signature / band hashes come from the engine-portable 40-bit
+    md5+mix40 family (functions/portable_hash.py), so the DuckDB oracle
+    reproduces signatures, bucket membership, Jaccard estimates, and simhash
+    bits EXACTLY — closing the last no_oracle correctness rows. Production
+    default stays xxhash64 (JVM intrinsic); both modes share the identical
+    plan shape (slim banded self-join, hot-bucket cap, verify-by-id-join)
+    and are cross-checked in tests/test_dedup_similarity.py."""
     df = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )  # signature HOFs are CPU-bound; a single small file = one task
     pairs = dedup.minhash_lsh_pairs(
-        df, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5
+        df, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5,
+        hash_fn="portable",
     )
-    sims = df.select("doc_id", dedup.simhash(F.col("text")).alias("sh"))
+    sims = df.select(
+        "doc_id", dedup.simhash(F.col("text"), bits=40, hash_fn="portable").alias("sh")
+    )
     return (
         pairs.join(
             sims.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("simhash_a")),
@@ -1532,9 +1540,77 @@ def q_minhash_lsh(spark, sf_dir):
         )
         .withColumn(
             "simhash_hamming",
-            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).cast("long"),
         )
     )
+
+
+def _sql_minhash_lsh() -> str:
+    """DuckDB oracle mirroring q_minhash_lsh's portable-hash pipeline
+    stage-for-stage (word w40 → shingle mix40(polyfold) → per-function
+    mix40(h^salt) min → band mix40(polyfold) → capped bucket join →
+    signature-agreement Jaccard ≥ 0.5 → 40-bit simhash + Hamming)."""
+    from ..functions import portable_hash as ph
+    from ..operators.dedup import minhash_salts
+
+    k, nh, bands, maxb = 5, 32, 8, 200
+    rpb = nh // bands
+    shingle = ph.mix40_sql(ph.polyfold40_sql(f"wh[i+1:i+{k}]"))
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(shs, h -> {ph.mix40_sql(f'xor(h, {s})')}))"
+        for s in minhash_salts(nh)
+    )
+    band_hash = ph.mix40_sql(ph.polyfold40_sql(f"sig[band*{rpb}+1 : band*{rpb}+{rpb}]"))
+    simhash40 = (
+        "list_reduce(list_concat([0::BIGINT], list_transform(range(0, 40), i -> "
+        "CASE WHEN 2 * list_sum(list_transform(wh, h -> (h >> i) & 1)) > len(wh) "
+        "THEN (1::BIGINT << i) ELSE 0::BIGINT END)), (a, b) -> a | b)"
+    )
+    return rf"""
+WITH words AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(lower(text), '\s+'),
+                        w -> {ph.w40_sql('w')}) AS wh
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, wh,
+         list_distinct(list_transform(range(0, greatest(len(wh) - {k}, 0) + 1),
+                                      i -> {shingle})) AS shs
+  FROM words
+),
+sig AS (
+  SELECT doc_id,
+         [{sig_exprs}] AS sig,
+         {simhash40} AS sh40
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, band, {band_hash} AS bh
+  FROM sig, (SELECT unnest(range(0, {bands})) AS band)
+),
+ok AS (SELECT band, bh FROM banded GROUP BY 1, 2 HAVING count(*) <= {maxb}),
+bk AS (SELECT banded.* FROM banded JOIN ok USING (band, bh)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT id_a, id_b,
+         list_sum(list_transform(range(1, {nh} + 1),
+                  i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {nh}.0 AS je,
+         sa.sh40 AS simhash_a, sb.sh40 AS simhash_b
+  FROM pairs
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, round(je, 4) AS jaccard_est, simhash_a, simhash_b,
+       CAST(bit_count(xor(simhash_a, simhash_b)) AS BIGINT) AS simhash_hamming
+FROM est WHERE je >= 0.5
+"""
+
+
+SQL_MINHASH_LSH = _sql_minhash_lsh()
 
 
 
@@ -1558,14 +1634,69 @@ SQL_ANN_IVF_TOPK = SQL_COSINE_TOPK
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate NN: random-hyperplane LSH bucket probe then exact cosine
-    on candidates (rows-only: bucket membership isn't SQL-expressible; recall
-    vs brute force is pytest-verified in tests/test_dedup_similarity.py)."""
+    """Approximate NN: hyperplane-LSH bucket probe then exact cosine on
+    candidates. Runs the DETERMINISTIC portable variant (r5): Rademacher ±1
+    hyperplanes from portable_hash.rademacher and floor-quantized integer
+    dot products make bucket membership bit-for-bit reproducible in the
+    DuckDB oracle (integer sums are order-independent and exact in every
+    engine). The numpy/BLAS ``lsh_topk`` stays the wide-signature throughput
+    path; its recall vs brute force is pytest-verified in
+    tests/test_dedup_similarity.py."""
     from ..operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return similarity.lsh_topk(emb.filter(F.col("vec_id") != 0), list(q), k=20, bits=12, bands=4)
+    out = similarity.lsh_topk_deterministic(
+        emb.filter(F.col("vec_id") != 0), list(q), k=20, bits=12, bands=4
+    )
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def _sql_ann_lsh_topk() -> str:
+    """DuckDB oracle for q_ann_lsh_topk: identical Rademacher planes (same
+    literals), identical floor-quantized integer dots, identical band
+    compare, then exact cosine on the probed bucket members."""
+    from ..functions import portable_hash as ph
+
+    dim, bits, bands, scale = 64, 12, 4, 1_000_000
+    planes = [ph.rademacher(f"annlsh:p{p}", dim) for p in range(bits)]
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> vq[i] * ({planes[p]}::BIGINT[])[i])) > 0 "
+        f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+        for p in range(bits)
+    )
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    band_conds = " OR ".join(
+        f"((sig >> {b * band_bits}) & {mask}) = ((qsig >> {b * band_bits}) & {mask})"
+        for b in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS vq
+  FROM embeddings
+),
+sig AS (SELECT vec_id, embedding, ({sig_terms}) AS sig FROM base),
+qs AS (SELECT embedding AS qe, sig AS qsig FROM sig WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id, embedding, qe
+  FROM sig, qs
+  WHERE vec_id <> 0 AND ({band_conds})
+)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qe AS DOUBLE[])), 4) AS cos_sim
+FROM cand
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[])) DESC,
+         vec_id
+LIMIT 20
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 
 
 def q_embedding_dedup_pairs(spark, sf_dir):
@@ -1737,8 +1868,10 @@ ORACLES = {
     "embedding_dedup_pairs": SQL_EMBEDDING_DEDUP_PAIRS,
     "benchmark_contamination": SQL_BENCHMARK_CONTAMINATION,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
-    # minhash_lsh (+merged simhash) / ann_lsh_topk: intentionally no oracle —
-    # xxhash64-dependent OUTPUT (signature values / bucket membership), so no
-    # engine-independent SQL can reproduce it; verified against brute-force
-    # oracles in tests/test_dedup_similarity.py instead.
+    # r5: minhash_lsh / ann_lsh_topk gained oracles by running in the
+    # engine-portable 40-bit hash mode (functions/portable_hash.py) that
+    # DuckDB SQL reproduces bit-for-bit; xxhash64 stays the production
+    # default behind the hash_fn knob.
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
 }
