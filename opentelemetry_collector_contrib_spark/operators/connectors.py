@@ -260,19 +260,26 @@ OTLPJSON_TRACE_RE = r'^\{\s*"resourceSpans"\s*:\s*\['
 
 def _otlp_attr_map(attrs: Column) -> Column:
     """OTLP attribute list → map<string,string> (pdata AsString per value:
-    booleans lowercase via cast, ints/doubles plain)."""
+    booleans lowercase via cast, ints/doubles plain). Duplicate keys in a
+    hostile/odd payload keep the last value (pcommon.Map upsert semantics)
+    instead of aborting the job with DUPLICATED_MAP_KEY — the reference
+    tolerates them (pcommon maps) and skips bad payloads (logs.go:43-79)."""
+    from .parsers import dedup_entries_last_win
+
     return F.map_from_entries(
-        F.transform(
-            F.coalesce(attrs, F.array()),
-            lambda a: F.struct(
-                a["key"].alias("key"),
-                F.coalesce(
-                    a["value"]["stringValue"],
-                    a["value"]["intValue"],
-                    a["value"]["doubleValue"].cast("string"),
-                    a["value"]["boolValue"].cast("string"),
-                ).alias("value"),
-            ),
+        dedup_entries_last_win(
+            F.transform(
+                F.coalesce(attrs, F.array()),
+                lambda a: F.struct(
+                    a["key"].alias("key"),
+                    F.coalesce(
+                        a["value"]["stringValue"],
+                        a["value"]["intValue"],
+                        a["value"]["doubleValue"].cast("string"),
+                        a["value"]["boolValue"].cast("string"),
+                    ).alias("value"),
+                ),
+            )
         )
     )
 
@@ -423,9 +430,16 @@ def signal_to_metrics(
             aggs.append(F.sum((v > lo).cast("long")).alias("le_inf"))
             out[d.name] = gb.agg(*aggs)
         elif d.metric_type == "exponential_histogram":
-            idx = (F.ceil(F.log2(F.col("_s2m_value")) * (2 ** d.scale)) - 1).cast("bigint")
+            # OTel exponential histograms account value==0 in a dedicated
+            # zero-count bucket (emitted here as bucket_idx NULL) rather
+            # than silently dropping it; negative values ARE dropped — the
+            # positive-bucket-only subset of the OTel model.
+            idx = F.when(
+                F.col("_s2m_value") > 0,
+                (F.ceil(F.log2(F.col("_s2m_value")) * (2 ** d.scale)) - 1).cast("bigint"),
+            )
             out[d.name] = (
-                cur.filter(F.col("_s2m_value") > 0)
+                cur.filter(F.col("_s2m_value") >= 0)
                 .withColumn("bucket_idx", idx)
                 .groupBy(*([F.col(window_col)] if window_col else []), *dims, "bucket_idx")
                 .agg(F.count(F.lit(1)).alias("bucket_count"))
@@ -526,13 +540,15 @@ def exceptions_connector(
     status_col: str = "status_code",
     exemplars: bool = False,
     trace_col: str = "trace_id",
+    span_attrs_col: str | None = None,
 ) -> DataFrame:
     """``connector/exceptionsconnector`` (traces→metrics): count span events
     named ``exception`` per (service, span name, kind, status code) plus
-    configured extra dimensions resolved event-attrs-first
-    (``connector_metrics.go:75-108``, buildDimensionKVs). Spans without a
-    service name are skipped like the reference (resource service.name is
-    mandatory, ``connector_metrics.go:79-82``).
+    configured extra dimensions resolved event-attrs-first, falling back to
+    the span's own attributes (pass ``span_attrs_col``) when the event lacks
+    the key (``connector_metrics.go:75-108``, buildDimensionKVs). Spans
+    without a service name are skipped like the reference (resource
+    service.name is mandatory, ``connector_metrics.go:79-82``).
 
     Span events are modeled as ``array<struct<name:string,
     attributes:map<string,string>>>``; the in-memory keyed exception store
@@ -540,6 +556,7 @@ def exceptions_connector(
     (max trace id) exemplar per group instead of the reference's
     rotating sample.
     """
+    span_attrs = [F.col(span_attrs_col).alias("_sattrs")] if span_attrs_col else []
     exc = (
         df.filter(F.col(service_col).isNotNull())
         .select(
@@ -548,14 +565,19 @@ def exceptions_connector(
             F.col(kind_col).alias("span_kind"),
             F.col(status_col).alias("status_code"),
             F.col(trace_col).alias("_tid"),
+            *span_attrs,
             F.explode_outer(events_col).alias("_ev"),
         )
         .filter(F.col("_ev").isNotNull() & (F.col("_ev.name") == "exception"))
     )
-    dim_cols = [
-        F.element_at(F.col("_ev.attributes"), d).alias(d.replace(".", "_"))
-        for d in (dimensions or [])
-    ]
+
+    def _dim(d):
+        ev = F.element_at(F.col("_ev.attributes"), d)
+        if span_attrs_col:
+            ev = F.coalesce(ev, F.element_at(F.col("_sattrs"), d))
+        return ev.alias(d.replace(".", "_"))
+
+    dim_cols = [_dim(d) for d in (dimensions or [])]
     aggs = [F.count(F.lit(1)).alias("exceptions")]
     if exemplars:
         aggs.append(F.max("_tid").alias("exemplar_trace"))

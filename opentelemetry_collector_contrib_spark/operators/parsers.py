@@ -46,6 +46,26 @@ def java_regex(pattern: str) -> str:
     return re.sub(r"\(\?P<[^>]+>", "(", pattern)
 
 
+def dedup_entries_last_win(entries: Column) -> Column:
+    """Drop all but the LAST entry per key from an array<struct<key,value>>.
+
+    pcommon.Map upserts tolerate repeated keys (last write wins), and RFC
+    5424 §6.3.2 explicitly allows repeated PARAM-NAMEs — but Spark's default
+    ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` makes ``map_from_entries``
+    abort the whole job on the first duplicate. Every map_from_entries over
+    externally-controlled keys goes through this guard so hostile or
+    legal-but-odd records degrade instead of failing the stage. O(n²) per
+    array, n = entry count per record (tiny); pure Column HOFs.
+    """
+    n = F.size(entries)
+    return F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, n), lambda e2: e2["key"] == e["key"]
+        ),
+    )
+
+
 def _apply_on_error(df: DataFrame, error_col: Column, on_error: str) -> DataFrame:
     """Attach/merge the _parse_error flag per transformer.go:142-173."""
     flag = error_col if "_parse_error" not in df.columns else (F.col("_parse_error") | error_col)
@@ -513,11 +533,16 @@ def parse_structured_data(col: Column) -> Column:
                 ).alias("value"),
             ),
         )
-        return F.struct(sd_id.alias("key"), F.map_from_entries(kv).alias("value"))
+        # RFC 5424 §6.3.2 allows repeated PARAM-NAME — keep the last
+        # (pcommon.Map upsert semantics) instead of DUPLICATED_MAP_KEY.
+        return F.struct(
+            sd_id.alias("key"),
+            F.map_from_entries(dedup_entries_last_win(kv)).alias("value"),
+        )
 
     return F.when(
         col.isNotNull() & (col != "-") & (col != ""),
-        F.map_from_entries(F.transform(elems, _entry)),
+        F.map_from_entries(dedup_entries_last_win(F.transform(elems, _entry))),
     )
 
 

@@ -44,6 +44,13 @@ def get_spark(
         # fused decode+parse stage (default 10k → too many tiny batches)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
         .config("spark.sql.session.timeZone", "UTC")
+        # pcommon.Map semantics: repeated keys upsert (last wins) rather
+        # than the default EXCEPTION policy killing the job on hostile or
+        # legal-but-odd records (RFC 5424 repeated PARAM-NAME, duplicate
+        # OTLP attribute keys). Operators also dedup explicitly
+        # (parsers.dedup_entries_last_win) so semantics don't depend on
+        # whose SparkSession runs them.
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")

@@ -276,3 +276,83 @@ class TestExceptionsConnector:
         b = out[("svc-b", "POST /y", "ValueError")]
         assert b.exceptions == 1
         assert len(out) == 2  # no-service and no-event spans contribute nothing
+
+
+    def test_span_attr_fallback_for_dimensions(self, spark):
+        """buildDimensionKVs falls back to span attributes when the event
+        lacks the key (connector_metrics.go:75-108)."""
+        from opentelemetry_collector_contrib_spark.operators.connectors import (
+            exceptions_connector,
+        )
+
+        spans = spark.createDataFrame(
+            [
+                ("svc", "GET /x", "SERVER", "ERROR", "t1", {"http.route": "/x"},
+                 [{"name": "exception", "attributes": {"exception.type": "E"}}]),
+                # event carries the dim -> event value wins over the span's
+                ("svc", "GET /x", "SERVER", "ERROR", "t2", {"http.route": "/span"},
+                 [{"name": "exception",
+                   "attributes": {"exception.type": "E", "http.route": "/event"}}]),
+            ],
+            "service string, span_name string, span_kind string, status_code string, "
+            "trace_id string, span_attributes map<string,string>, "
+            "events array<struct<name:string, attributes:map<string,string>>>",
+        )
+        out = {
+            r.http_route: r.exceptions
+            for r in exceptions_connector(
+                spans, dimensions=["http.route"], span_attrs_col="span_attributes"
+            ).collect()
+        }
+        assert out == {"/x": 1, "/event": 1}
+
+
+class TestExponentialHistogramZeros:
+    def test_zero_values_land_in_zero_bucket(self, spark):
+        """OTel exponential histograms account value==0 in the zero-count
+        bucket (bucket_idx NULL here) instead of dropping it; negatives are
+        dropped (positive-bucket-only subset of the model)."""
+        from opentelemetry_collector_contrib_spark.operators.connectors import (
+            SignalMetricDef,
+            signal_to_metrics,
+        )
+
+        logs = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 8), (4, -5)],
+            "event_id int, latency int",
+        )
+        out = signal_to_metrics(
+            logs,
+            [SignalMetricDef(name="h", value="latency",
+                             metric_type="exponential_histogram", scale=0)],
+        )["h"]
+        got = {r.bucket_idx: r.bucket_count for r in out.collect()}
+        assert got == {None: 2, 2: 1}  # two zeros; 8 -> bucket ceil(log2(8))-1=2
+
+
+class TestDuplicateKeyTolerance:
+    def test_otlpjson_duplicate_attribute_keys_keep_last(self, spark):
+        """A payload with a repeated attribute key must not abort the job
+        (Spark default mapKeyDedupPolicy=EXCEPTION): pcommon maps upsert, so
+        the last value wins (reference logs.go:43-79 tolerates such
+        payloads)."""
+        from opentelemetry_collector_contrib_spark.operators.connectors import (
+            otlpjson_logs_connector,
+        )
+
+        payload = (
+            '{"resourceLogs": [{"resource": {"attributes": ['
+            '{"key": "k", "value": {"stringValue": "first"}},'
+            '{"key": "k", "value": {"stringValue": "second"}}]},'
+            '"scopeLogs": [{"logRecords": [{"body": {"stringValue": "m"},'
+            '"attributes": [{"key": "a", "value": {"stringValue": "1"}},'
+            '{"key": "a", "value": {"stringValue": "2"}}]}]}]}]}'
+        )
+        df = spark.createDataFrame(
+            [({}, {}, payload, None, None)],
+            "resource map<string,string>, attributes map<string,string>, "
+            "body string, severity_text string, time_unix_nano long",
+        )
+        r = otlpjson_logs_connector(df).first()
+        assert dict(r.resource) == {"k": "second"}
+        assert dict(r.attributes) == {"a": "2"}

@@ -175,3 +175,30 @@ class TestSinks:
         # every key lands in exactly one partition
         spread = pid.groupBy("k").agg(F.countDistinct("p").alias("n")).agg(F.max("n")).first()[0]
         assert spread == 1
+
+
+def test_rfc5424_repeated_param_name_keeps_last(spark):
+    """RFC 5424 §6.3.2 allows repeated PARAM-NAME inside an SD element; the
+    parser keeps the last occurrence (pcommon.Map upsert) instead of dying
+    on Spark's DUPLICATED_MAP_KEY."""
+    from opentelemetry_collector_contrib_spark.operators.parsers import syslog_parser
+
+    line = ('<165>1 2026-01-02T03:04:05Z h app 1 ID47 '
+            '[ex ip="1.1.1.1" ip="2.2.2.2"][ex dup="x"] m')
+    df = spark.createDataFrame([(line,)], "body string")
+    r = syslog_parser(df, protocol="rfc5424").first()
+    # repeated param: last wins; repeated SD-ID: last element wins
+    assert {k: dict(v) for k, v in r.structured_data.items()} == {"ex": {"dup": "x"}}
+
+
+def test_map_upsert_sees_columns_promoted_earlier_in_group(spark):
+    """Regression pin for ADVICE r4 (ottl.py map_store): a flat column
+    promoted by an earlier statement in the same group must be visible to a
+    later set(attributes["x"]) — it routes to the PROMOTED column, not the
+    attributes map (resolver.columns is refreshed per statement)."""
+    from opentelemetry_collector_contrib_spark.functions.ottl import transform_processor
+
+    df = spark.createDataFrame([(1, {"a": "1"})], "id long, attributes map<string,string>")
+    out = transform_processor(df, ['set(x, "flat")', 'set(attributes["x"], "mapped")'])
+    r = out.first()
+    assert r.x == "mapped" and dict(r.attributes) == {"a": "1"}
