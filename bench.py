@@ -234,6 +234,31 @@ def main() -> None:
         f"pipeline+sinks local[{CPUS}]: best {wall_full:.1f}s of "
         f"{headline_walls} = {rps_full:,.0f} rows/s"
     )
+
+    # --- 10× scale-evidence point (sf1-equivalent): one flagship run over
+    # a 10×-row token table (cached across rounds). The 100 TB story rests
+    # on the sf0.1 plans holding under scale-up; this records a measured
+    # 10× point (throughput should stay within ~2× of the sf0.1 rate — the
+    # pipeline is scan-shaped, so per-row cost must not grow with volume).
+    # BENCH_SF1=0 skips it.
+    sf1: dict = {}
+    if os.environ.get("BENCH_SF1", "1") == "1":
+        rows10 = BENCH_ROWS * 10
+        cache10 = os.path.join(REPO, ".bench_data", f"tokens_{rows10}")
+        t0 = time.time()
+        write_tokens_parquet(cache10, rows10, seed=42)
+        log(f"sf1 cache ready in {time.time() - t0:.0f}s")
+        w10 = run_once(spark, cache10, f"sf1_{CPUS}", write_sinks=True)
+        sf1 = {
+            "sf1_pipeline_rows": rows10,
+            "sf1_pipeline_wall_sec": round(w10, 3),
+            "sf1_sequences_per_sec_with_sinks": round(rows10 / w10, 1),
+            "sf1_vs_sf01_rate_ratio": round((rows10 / w10) / rps_full, 3),
+        }
+        log(
+            f"sf1 pipeline+sinks local[{CPUS}]: {w10:.1f}s = "
+            f"{rows10 / w10:,.0f} rows/s ({sf1['sf1_vs_sf01_rate_ratio']}x the sf0.1 rate)"
+        )
     spark.stop()
 
     result = {
@@ -248,6 +273,7 @@ def main() -> None:
         "parallelism": CPUS,
     }
 
+    result.update(sf1)
     result.update(scaling)
 
     print(json.dumps(result))

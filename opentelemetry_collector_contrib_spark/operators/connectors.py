@@ -510,22 +510,50 @@ def service_graph(
 
 # ------------------------------------------------- roundrobin / failover
 
-def round_robin(df: DataFrame, n: int, order_col: str, out: str = "endpoint") -> DataFrame:
+def round_robin(
+    df: DataFrame,
+    n: int,
+    order_col: str,
+    out: str = "endpoint",
+    order_bucket_span: int | None = None,
+) -> DataFrame:
     """``connector/roundrobinconnector``: spread records over N downstream
     pipelines in rotation. A DataFrame has no arrival order, so rotation is
     defined by ``order_col`` (deterministic given the data): global
     row_number % n. Use ``load_balancing_bucket`` instead when a stable
     KEY-based assignment is wanted — this form is for even spreading.
 
-    The global row_number costs a single-partition window at batch scale —
-    acceptable for pipeline fan-out of AGGREGATED streams (the reference use
-    case: spreading exporter load), wrong for raw 100 TB fact tables (use
-    the hash bucket for those; documented trade-off).
+    ``order_bucket_span=None`` is a global ``Window.orderBy`` — a
+    SINGLE-PARTITION exchange, acceptable only for fan-out of AGGREGATED
+    streams (the reference use case: spreading exporter load over a handful
+    of endpoints). For raw fact tables pass ``order_bucket_span`` (a NUMERIC
+    ``order_col`` range per bucket): the rank is then computed as a
+    distributed two-phase prefix sum — partition-local ``row_number`` per
+    contiguous order bucket plus a broadcast per-bucket cumulative-offset
+    frame (one row per bucket), the same trick ``recombine``'s sessionizer
+    uses (operators/transformers.py) — bit-for-bit the global assignment
+    when ``order_col`` is unique, with no single-partition exchange.
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(order_col)
-    return df.withColumn(out, ((F.row_number().over(w) - 1) % n).cast("int"))
+    if order_bucket_span is None:
+        w = Window.orderBy(order_col)
+        return df.withColumn(out, ((F.row_number().over(w) - 1) % n).cast("int"))
+    df = df.withColumn("_rr_bkt", (F.col(order_col) / order_bucket_span).cast("long"))
+    w1 = Window.partitionBy("_rr_bkt").orderBy(order_col)
+    df = df.withColumn("_rr_local", F.row_number().over(w1))
+    per_bucket = df.groupBy("_rr_bkt").agg(F.count(F.lit(1)).alias("_rr_n"))
+    woff = Window.orderBy("_rr_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.withColumn(
+        "_rr_off", F.coalesce(F.sum("_rr_n").over(woff), F.lit(0))
+    ).drop("_rr_n")
+    df = df.join(F.broadcast(offsets), "_rr_bkt")
+    return (
+        df.withColumn(
+            out, ((F.col("_rr_local") + F.col("_rr_off") - 1) % n).cast("int")
+        )
+        .drop("_rr_bkt", "_rr_local", "_rr_off")
+    )
 
 
 # ---------------------------------------------------------------- exceptions
@@ -541,6 +569,7 @@ def exceptions_connector(
     exemplars: bool = False,
     trace_col: str = "trace_id",
     span_attrs_col: str | None = None,
+    window_col: str | None = None,
 ) -> DataFrame:
     """``connector/exceptionsconnector`` (traces→metrics): count span events
     named ``exception`` per (service, span name, kind, status code) plus
@@ -557,6 +586,8 @@ def exceptions_connector(
     rotating sample.
     """
     span_attrs = [F.col(span_attrs_col).alias("_sattrs")] if span_attrs_col else []
+    if window_col:
+        span_attrs.append(F.col(window_col))
     exc = (
         df.filter(F.col(service_col).isNotNull())
         .select(
@@ -581,6 +612,7 @@ def exceptions_connector(
     aggs = [F.count(F.lit(1)).alias("exceptions")]
     if exemplars:
         aggs.append(F.max("_tid").alias("exemplar_trace"))
+    win = [F.col(window_col)] if window_col else []
     return exc.groupBy(
-        "service_name", "span_name", "span_kind", "status_code", *dim_cols
+        *win, "service_name", "span_name", "span_kind", "status_code", *dim_cols
     ).agg(*aggs)

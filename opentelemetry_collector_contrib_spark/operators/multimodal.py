@@ -5,12 +5,14 @@ with a typed metadata struct, processed by Arrow-batched ``mapInPandas``
 stages. The Spark-side plumbing here — schemas, batch iteration, partition
 sizing, UDF signatures — is real and tested. Codec status (r4):
 
-- **BMP (24-bit uncompressed) and WAV (PCM16) are REAL dependency-free
-  codecs** (`decode_bmp`/`encode_bmp`, `decode_wav`/`encode_wav`, stdlib
-  struct + numpy): the default ``decode_fn`` sniffs magic bytes and
-  decodes these end-to-end, and `resize_images` really resamples BMP
-  pixels (nearest neighbor) and re-encodes.
-- Formats needing external libraries (png/jpeg/opus/h264) remain STUBBED
+- **BMP (24-bit uncompressed), PNG (non-interlaced 8-bit baseline, r5) and
+  WAV (PCM16) are REAL dependency-free codecs** (`decode_bmp`/`encode_bmp`,
+  `decode_png`/`encode_png` — zlib inflate + all five scanline filters —
+  `decode_wav`/`encode_wav`; stdlib struct/zlib + numpy): the default
+  ``decode_fn`` sniffs magic bytes and decodes these end-to-end, and
+  `resize_images` really resamples BMP/PNG pixels (nearest neighbor) and
+  re-encodes.
+- Formats needing external libraries (jpeg/opus/h264) remain STUBBED
   behind the deterministic fake — no image/audio libs exist in this
   container. Swap ``decode_fn`` for a PIL/libav call in production;
   nothing else changes.
@@ -100,6 +102,113 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, np.ascontiguousarray(px)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """(h, w, 3) RGB uint8 → non-interlaced 8-bit truecolor PNG bytes.
+
+    Pure stdlib: zlib deflate + struct chunk framing (+ zlib.crc32). Rows
+    use filter type 0 (None) — simple, always valid; compression still
+    applies across the scanline stream.
+    """
+    import zlib
+
+    h, w, _ = px.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB, no interlace
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """PNG bytes → (width, height, (h, w, 3) RGB uint8).
+
+    Pure stdlib + numpy: walks chunks, inflates the IDAT stream, and
+    un-applies all five scanline filters (None/Sub/Up/Average/Paeth — the
+    full non-interlaced baseline, not just what our encoder emits).
+    Supports 8-bit gray (0), RGB (2) and RGBA (6); gray broadcasts to
+    3 channels, alpha is dropped. Interlaced (Adam7) and palette images
+    raise — they need no new dependencies, just aren't needed yet.
+    """
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    w = h = None
+    color = depth = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+        raise ValueError("only non-interlaced 8-bit gray/RGB/RGBA PNG is supported")
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline stream has the wrong length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, r * (stride + 1) + 1).copy()
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: recon[x] = line[x] + recon[x-ch] → cumsum per lane
+            rec = (
+                np.cumsum(line.reshape(w, ch).astype(np.int64), axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            rec = line + prev  # uint8 wraps = mod 256
+        elif ft == 3:  # Average: sequential in x (left recon feeds right)
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r] = rec
+        prev = rec
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif ch == 4:
+        px = px[:, :, :3]
+    return w, h, np.ascontiguousarray(px)
+
+
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     """int16 mono samples → RIFF/WAVE PCM16 bytes."""
     data = samples.astype("<i2").tobytes()
@@ -137,9 +246,17 @@ def real_decode(payload: bytes, meta) -> list[float]:
     """Default decode_fn: REAL decode for BMP/WAV (magic-byte sniff), the
     deterministic fake for formats that need external codecs.
 
-    BMP features: [w, h, mean R/G/B, std, min, max] (pixel stats /255).
+    BMP/PNG features: [w, h, mean R/G/B, std, min, max] (pixel stats /255).
     WAV features: [n_samples, rate, mean, std, min, max, zero-crossings, rms]
     (sample stats /32768)."""
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        w, h, px = decode_png(payload)
+        f = px.reshape(-1, 3).astype(np.float64) / 255.0
+        return [
+            float(w), float(h),
+            float(f[:, 0].mean()), float(f[:, 1].mean()), float(f[:, 2].mean()),
+            float(f.std()), float(f.min()), float(f.max()),
+        ]
     if payload[:2] == b"BM":
         w, h, px = decode_bmp(payload)
         f = px.reshape(-1, 3).astype(np.float64) / 255.0
@@ -201,20 +318,26 @@ def extract_features(
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize stage.
 
-    BMP payloads are REALLY resampled (nearest neighbor, numpy index
-    mapping) and re-encoded; other formats pass bytes through and only
-    rewrite meta (codec stub — see module docstring). Plumbing (schema
-    preservation, per-batch iteration) is shared by both paths.
+    BMP and PNG payloads are REALLY resampled (nearest neighbor, numpy
+    index mapping) and re-encoded in their own format; other formats pass
+    bytes through and only rewrite meta (codec stub — see module
+    docstring). Plumbing (schema preservation, per-batch iteration) is
+    shared by all paths.
     """
     out_schema = df.schema
 
     def _resize_one(payload: bytes) -> bytes:
-        if payload[:2] != b"BM":
-            return payload  # non-BMP: stubbed passthrough
-        _w, _h, px = decode_bmp(payload)
+        if payload[: len(_PNG_SIG)] == _PNG_SIG:
+            _w, _h, px = decode_png(payload)
+            enc = encode_png
+        elif payload[:2] == b"BM":
+            _w, _h, px = decode_bmp(payload)
+            enc = encode_bmp
+        else:
+            return payload  # no codec for this format: stubbed passthrough
         ys = (np.arange(height) * _h // height).clip(0, _h - 1)
         xs = (np.arange(width) * _w // width).clip(0, _w - 1)
-        return encode_bmp(px[ys][:, xs])
+        return enc(px[ys][:, xs])
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -157,3 +157,61 @@ def duplicate_ngram_fraction(
         .drop("_total", "_distinct")
         .withColumnRenamed("id", id_col)
     )
+
+
+# ------------------------------------------------------------ language ID
+
+#: Stopword profiles for the classifier — the highest-frequency function
+#: words of each language (public knowledge; any frequency list gives the
+#: same top words). Kept deliberately small: 15 words/language suffices for
+#: document-level ID because function words dominate running text.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "you", "that", "it", "was",
+           "for", "on", "are", "with", "as"],
+    "fr": ["le", "la", "les", "de", "des", "du", "et", "en", "un", "une",
+           "est", "que", "pour", "dans", "qui"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "dem",
+           "ein", "eine", "nicht", "auf", "sich", "auch"],
+    "es": ["el", "los", "las", "de", "y", "en", "un", "una", "es", "que",
+           "por", "con", "para", "del", "se"],
+    "it": ["il", "lo", "gli", "di", "che", "per", "con", "del", "sono",
+           "non", "si", "come", "nella", "sul", "alla"],
+}
+
+#: tie-break priority (first wins) — matched exactly by the DuckDB oracle's
+#: CASE chain in plans/catalog.py
+LANG_ORDER = ["en", "fr", "de", "es", "it"]
+
+
+def lang_scores(text_col, langs: list[str] | None = None):
+    """Per-language stopword hit counts as a dict of Column (token-level:
+    a word counts once per occurrence). Pure Column HOFs — JVM-side,
+    embarrassingly parallel, no shuffle; the 100 TB cost is one pass."""
+    langs = langs or LANG_ORDER
+    words = F.split(F.lower(text_col), r"\s+")
+    out = {}
+    for lang in langs:
+        sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        out[lang] = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return out
+
+
+def lang_id(text_col, langs: list[str] | None = None):
+    """Predicted language: argmax of stopword-profile scores, ``und`` when
+    no profile hits. Ties resolve by LANG_ORDER position (deterministic,
+    mirrored by the oracle SQL). A char-trigram model would be the next
+    fidelity step; stopword profiles already separate en/fr/de/es/it
+    reliably at document length (each profile is near-disjoint in its
+    distinctive function words: the/und/les/los/gli...)."""
+    langs = langs or LANG_ORDER
+    scores = lang_scores(text_col, langs)
+    pred = F.lit("und")
+    # build the when-chain in REVERSE priority so earlier languages win ties
+    chain = F.when(sum(scores[l] for l in langs) == 0, F.lit("und"))
+    for i, lang in enumerate(langs):
+        others = [scores[o] for o in langs if o != lang]
+        cond = scores[lang] > F.lit(0)
+        for o in others:
+            cond = cond & (scores[lang] >= o)
+        chain = chain.when(cond, F.lit(lang))
+    return chain.otherwise(pred)

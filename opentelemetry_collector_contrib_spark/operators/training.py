@@ -122,16 +122,26 @@ def stratified_token_mix(
     source_col: str = "source",
     n_tok_col: str = "n_tok",
     seed: int = 42,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Sample a domain-weighted training mix hitting ``token_budget`` tokens.
 
     For each source s: target_s = budget · weight_s / Σweights; sampling
     fraction = min(1, target_s / tokens_s) where tokens_s comes from one
     aggregate over the corpus (sources absent from ``weights`` are
-    dropped). Rows are then Bernoulli-sampled per source with
-    ``sampleBy(seed)`` — deterministic for a given seed and input
-    partitioning, and executed AT THE SCAN (a filter on rand(seed); no
-    shuffle, no collect beyond the #sources-row aggregate).
+    dropped). Selection then runs AT THE SCAN (a per-row filter; no
+    shuffle, no collect beyond the #sources-row aggregate):
+
+    * ``id_col=None`` — Bernoulli ``sampleBy(seed)``: deterministic for a
+      given seed AND input partitioning (Spark's rand is seeded per
+      partition).
+    * ``id_col`` given — CONTENT-KEYED sampling: keep a row iff
+      ``mix40(w40(id) ^ salt(seed)) < fraction·2^40`` over the engine-
+      portable 40-bit hash (functions/portable_hash.py). Reproducible
+      independent of partitioning, cluster size, or engine — the property a
+      resumable 100 TB curation run actually needs (re-running a stage on a
+      repartitioned input selects the SAME rows), and what lets the driver
+      row carry a DuckDB oracle.
 
     Oversubscribed domains (weight asks for more tokens than exist) cap at
     fraction 1.0 — the standard up-weighting limit; epoch repetition is the
@@ -152,6 +162,17 @@ def stratified_token_mix(
             continue
         target = token_budget * (w / total_w)
         fractions[s] = min(1.0, target / have)
-    return df.filter(F.col(source_col).isin(*fractions.keys())).sampleBy(
-        source_col, fractions, seed
-    )
+    kept = df.filter(F.col(source_col).isin(*fractions.keys()))
+    if id_col is None:
+        return kept.sampleBy(source_col, fractions, seed)
+    import math
+
+    from ..functions import portable_hash as ph
+
+    salt = ph.salt40(f"mix:{seed}")
+    key = ph.mix40_col(ph.w40_col(F.col(id_col).cast("string")).bitwiseXOR(F.lit(salt)))
+    cond = F.lit(False)
+    for s, f in fractions.items():
+        thr = math.floor(f * float(1 << 40))
+        cond = cond | ((F.col(source_col) == s) & (key < F.lit(thr)))
+    return kept.filter(cond)

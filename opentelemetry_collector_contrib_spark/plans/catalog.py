@@ -223,11 +223,16 @@ FROM events
 """
 
 
-def q_count_connector(spark, sf_dir):
-    """countconnector (counter.go:39-127): OR'd conditions + dimension attrs,
-    per-dimension counts."""
+def q_count_sum_connectors(spark, sf_dir):
+    """countconnector (counter.go:39-127: OR'd conditions + dimension attrs
+    → per-dimension counts) AND sumconnector (config.go:32-34: sum numeric
+    attr per dims) over the same dimension key, joined into one frame (the
+    two connectors share the grouping shape; one row covers both — r5 merge
+    to stay inside the driver's 50-row window). Sum runs in exact decimal;
+    the compared column is bigint cents (decimal stringification differs
+    across engines, integers don't)."""
     df = _t(spark, sf_dir, "events")
-    out = connectors.count_connector(
+    counts = connectors.count_connector(
         df,
         [
             connectors.CountMetric(
@@ -236,33 +241,22 @@ def q_count_connector(spark, sf_dir):
                 dimensions=["event_type"],
             )
         ],
-    )
-    return out["event.count"].select("event_type", F.col("count").alias("n")).withColumnRenamed("n", "n")
+    )["event.count"].select("event_type", F.col("count").alias("n"))
+    sums = connectors.sum_connector(
+        df.withColumn("value_dec", F.col("value").cast("decimal(18,2)")),
+        "value_dec", ["event_type"], name="total",
+    ).select("event_type", (F.col("total") * 100).cast("bigint").alias("total_cents"))
+    return counts.join(sums, "event_type", "outer")
 
 
-SQL_COUNT_CONNECTOR = """
-SELECT event_type, count(*) AS n FROM events
-WHERE value >= 100 OR event_type = 'error'
-GROUP BY event_type
-"""
-
-
-def q_sum_connector(spark, sf_dir):
-    """sumconnector (config.go:32-34): sum numeric attr per dims. Sum runs in
-    exact decimal; the compared column is bigint cents (decimal stringification
-    differs across engines, integers don't)."""
-    df = _t(spark, sf_dir, "events").withColumn(
-        "value_dec", F.col("value").cast("decimal(18,2)")
-    )
-    out = connectors.sum_connector(df, "value_dec", ["event_type"], name="total")
-    return out.select(
-        "event_type", (F.col("total") * 100).cast("bigint").alias("total_cents")
-    )
-
-
-SQL_SUM_CONNECTOR = """
-SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
-FROM events GROUP BY event_type
+SQL_COUNT_SUM_CONNECTORS = """
+SELECT event_type, c.n, s.total_cents
+FROM (SELECT event_type, count(*) AS n FROM events
+      WHERE value >= 100 OR event_type = 'error' GROUP BY event_type) c
+FULL OUTER JOIN
+     (SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+      FROM events GROUP BY event_type) s
+USING (event_type)
 """
 
 
@@ -1323,36 +1317,26 @@ FROM events GROUP BY 1
 
 
 def q_load_balancing(spark, sf_dir):
-    """loadbalancingexporter consistent bucket assignment: md5-derived
-    endpoint per routing key + per-endpoint row counts."""
-    df = _t(spark, sf_dir, "events")
-    out = connectors.load_balancing_bucket(df, "user_id", 5)
-    return out.groupBy("endpoint").agg(F.count(F.lit(1)).alias("n"))
-
-
-SQL_LOAD_BALANCING = """
-SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INT) AS endpoint,
-       count(*) AS n
-FROM events GROUP BY 1
-"""
-
-
-def q_fan_in_union(spark, sf_dir):
-    """Pipeline fan-in (unionByName of two routed streams) with per-origin
-    counts — the collector's N-pipelines→one-consumer edge."""
+    """Pipeline fan-in (unionByName of two routed streams — the collector's
+    N-pipelines→one-consumer edge; folded in from the r4 fan_in_union row)
+    feeding the loadbalancingexporter's consistent bucket assignment:
+    md5-derived endpoint per routing key, counts per (origin, endpoint)."""
     ev = _t(spark, sf_dir, "events")
     a = ev.filter(F.col("event_type") == "error").withColumn("origin", F.lit("p_err"))
     b = ev.filter(F.col("value") >= 150).withColumn("origin", F.lit("p_big"))
-    out = connectors.fan_in(a, b)
-    return out.groupBy("origin").agg(F.count(F.lit(1)).alias("n"))
+    out = connectors.load_balancing_bucket(connectors.fan_in(a, b), "user_id", 5)
+    return out.groupBy("origin", "endpoint").agg(F.count(F.lit(1)).alias("n"))
 
 
-SQL_FAN_IN_UNION = """
-SELECT origin, count(*) AS n FROM (
-  SELECT 'p_err' AS origin FROM events WHERE event_type = 'error'
+SQL_LOAD_BALANCING = """
+SELECT origin,
+       CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INT) AS endpoint,
+       count(*) AS n
+FROM (
+  SELECT 'p_err' AS origin, user_id FROM events WHERE event_type = 'error'
   UNION ALL
-  SELECT 'p_big' AS origin FROM events WHERE value >= 150
-) GROUP BY origin
+  SELECT 'p_big' AS origin, user_id FROM events WHERE value >= 150
+) GROUP BY 1, 2
 """
 
 
@@ -1443,28 +1427,224 @@ FROM base b JOIN top2 t USING (doc_id)
 """
 
 
-def q_lang_id_stopword(spark, sf_dir):
-    """Language-ID heuristic: per-language english stopword hit counts."""
-    df = _t(spark, sf_dir, "documents")
-    pad = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
-    hits = sum(
-        F.size(F.regexp_extract_all(pad, F.lit(f" {w} "), 0)) for w in ["the", "and", "of"]
-    )
+#: planted multilingual docs for the lang_id row — the synthetic documents
+#: table's text is English-vocab regardless of its `lang` label, so real
+#: classification is exercised on these (recall pinned in pytest).
+LANG_ID_PLANTS = [
+    (1000001, "le chat est dans la maison et il regarde les oiseaux du jardin", "fr"),
+    (1000002, "la porte de la cuisine est ouverte pour les invités qui arrivent", "fr"),
+    (1000003, "der hund ist in dem haus und die katze schläft auf dem sofa", "de"),
+    (1000004, "die kinder spielen nicht mit dem ball auf der straße", "de"),
+    (1000005, "el perro está en la casa y los gatos duermen en el jardín", "es"),
+    (1000006, "las ventanas de la casa se abren por la mañana para el sol", "es"),
+    (1000007, "il cane è nella casa e i gatti dormono sul divano", "it"),
+    (1000008, "gli studenti sono arrivati con il treno del mattino per la lezione", "it"),
+    (1000009, "the dog is in the house and the cats sleep on the sofa", "en"),
+    (1000010, "it was a long day for the people waiting in the station", "en"),
+]
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-profile language classifier over en/fr/de/es/it
+    (operators/quality.py lang_id): per-language hit counts → argmax with a
+    deterministic tie order, ``und`` when nothing hits. Runs over documents
+    UNION planted fr/de/es/it/en docs (LANG_ID_PLANTS) and returns the
+    (true lang, predicted lang) contingency counts; planted-doc recall is
+    additionally pinned exact in tests/test_quality_training.py. Replaces
+    the r4 english-stopword-density row, which could not distinguish
+    languages at all."""
+    from ..operators import quality
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    planted = spark.createDataFrame(LANG_ID_PLANTS, "doc_id long, text string, lang string")
+    both = df.unionByName(planted)
     return (
-        df.withColumn("hits", hits)
-        .groupBy("lang")
-        .agg(F.sum("hits").alias("stopword_hits"), F.count(F.lit(1)).alias("n_docs"))
+        both.withColumn("lang_pred", quality.lang_id(F.col("text")))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 
-SQL_LANG_ID_STOPWORD = """
-SELECT lang,
-       CAST(SUM(len(regexp_extract_all(' ' || lower(text) || ' ', ' the '))
-         + len(regexp_extract_all(' ' || lower(text) || ' ', ' and '))
-         + len(regexp_extract_all(' ' || lower(text) || ' ', ' of '))) AS BIGINT) AS stopword_hits,
-       count(*) AS n_docs
-FROM documents GROUP BY lang
+def _sql_lang_id() -> str:
+    from ..operators.quality import LANG_ORDER, LANG_STOPWORDS
+
+    plants = ",\n    ".join(
+        "({}, '{}', '{}')".format(i, t.replace("'", "''"), lang)
+        for i, t, lang in LANG_ID_PLANTS
+    )
+    score_cols = ",\n         ".join(
+        "len(list_filter(w, x -> list_contains({}, x))) AS s_{}".format(
+            "[" + ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang]) + "]", lang
+        )
+        for lang in LANG_ORDER
+    )
+    total = " + ".join(f"s_{lang}" for lang in LANG_ORDER)
+    cases = []
+    for lang in LANG_ORDER:
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{o}" for o in LANG_ORDER if o != lang
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_chain = "CASE WHEN " + total + " = 0 THEN 'und' " + " ".join(cases) + " ELSE 'und' END"
+    return rf"""
+WITH allv AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {plants}) t(doc_id, text, lang)
+),
+words AS (
+  SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS w FROM allv
+),
+scored AS (
+  SELECT doc_id, lang,
+         {score_cols}
+  FROM words
+)
+SELECT lang, {case_chain} AS lang_pred, count(*) AS n_docs
+FROM scored GROUP BY 1, 2
 """
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+# ------------------------------------------------------- training-batch prep
+
+def q_sequence_packing(spark, sf_dir):
+    """Greedy fixed-length sequence packing (operators/training.py
+    pack_sequences — the LLM pretraining batch shape). Tokens derive
+    deterministically from documents (token i = length of word i); the row
+    runs single-partition so the greedy layout is a pure function of the
+    doc_id order, which makes the full output SQL-computable: greedy
+    packing with chunking over a sorted stream is exactly "cut the
+    concatenated token stream every L tokens", so the oracle rebuilds each
+    sequence's doc coverage, real-token count, pad and token checksum from
+    cumulative offsets. Multi-partition scale behavior (no shuffle, one
+    padded tail per partition) is property-tested in
+    tests/test_scale_properties.py."""
+    from ..operators import training
+
+    df = _t(spark, sf_dir, "documents")
+    toks = df.select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), r"\s+"), lambda w: F.length(w).cast("int")
+        ).alias("tokens"),
+    )
+    packed = training.pack_sequences(toks.repartition(1), seq_len=128)
+    return packed.select(
+        "seq_id",
+        # pipe-joined, not the raw array: the driver's value-hash comparator
+        # stringifies scalar cells only
+        F.concat_ws("|", "doc_ids").alias("doc_ids"),
+        "n_real_tokens",
+        "n_pad",
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, b: a + b).alias("tok_sum"),
+    )
+
+
+SQL_SEQUENCE_PACKING = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(text, '\s+'),
+                        w -> CAST(length(w) AS INT)) AS tokens
+  FROM documents
+),
+docs AS (
+  SELECT doc_id, tokens,
+         COALESCE(SUM(len(tokens)) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0
+  FROM toks
+),
+pos AS (
+  SELECT doc_id,
+         off0 + unnest(range(1, len(tokens) + 1)) - 1 AS gpos,
+         unnest(tokens) AS tok
+  FROM docs
+),
+grouped AS (
+  SELECT gpos // 128 AS k, doc_id, count(*) AS c, SUM(tok) AS ts
+  FROM pos GROUP BY 1, 2
+),
+seqs AS (
+  SELECT k, CAST(SUM(c) AS INT) AS n_real_tokens, CAST(SUM(ts) AS BIGINT) AS tok_sum,
+         string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS doc_ids
+  FROM grouped GROUP BY k
+)
+SELECT '0-' || CAST(k AS VARCHAR) AS seq_id, doc_ids, n_real_tokens,
+       CAST(CASE WHEN n_real_tokens < 128 THEN 128 - n_real_tokens ELSE 0 END AS INT) AS n_pad,
+       tok_sum
+FROM seqs
+"""
+
+#: token_mix row config — shared by the Spark query and the oracle builder
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_MIX_BUDGET = 3000
+_MIX_SEED = 42
+
+
+def q_token_mix(spark, sf_dir):
+    """Domain-weighted token-budget mix (operators/training.py
+    stratified_token_mix) in CONTENT-KEYED deterministic mode
+    (id_col="doc_id"): selection is mix40(w40(doc_id) ^ salt) <
+    fraction·2^40 over the engine-portable hash, so the sampled set is a
+    pure function of the data — reproducible across partitionings, cluster
+    sizes and engines, which is what lets this row carry an exact DuckDB
+    oracle (Spark's rand(seed) is partition-dependent, so the sampleBy mode
+    can only ever get a tolerance check). Output: per-source doc and token
+    totals of the mix."""
+    from ..operators import training
+
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split(F.col("text"), r"\s+"))
+    )
+    mixed = training.stratified_token_mix(
+        df, dict(_MIX_WEIGHTS), _MIX_BUDGET, seed=_MIX_SEED, id_col="doc_id"
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens"),
+    )
+
+
+def _sql_token_mix() -> str:
+    """The oracle recomputes the per-source fractions with the SAME IEEE
+    double operation order the Python driver code uses (w/total_w, ·budget,
+    /have, min 1.0, ·2^40, floor) — identical doubles, identical integer
+    thresholds, identical selected set."""
+    from ..functions import portable_hash as ph
+
+    total_w = sum(_MIX_WEIGHTS.values())  # same summation order as training.py
+    salt = ph.salt40(f"mix:{_MIX_SEED}")
+    weights_rows = ", ".join(
+        f"('{s}', {w!r})" for s, w in _MIX_WEIGHTS.items()
+    )
+    srcs = ", ".join(f"'{s}'" for s in _MIX_WEIGHTS)
+    key = ph.mix40_sql(f"xor({ph.w40_sql('CAST(doc_id AS VARCHAR)')}, {salt})")
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, source, len(string_split_regex(text, '\s+')) AS n_tok
+  FROM documents WHERE source IN ({srcs})
+),
+have AS (SELECT source, SUM(n_tok) AS have FROM tok GROUP BY source),
+thr AS (
+  SELECT have.source,
+         CAST(floor(least(1.0, ({_MIX_BUDGET} * (w.w / {total_w!r})) / have.have)
+                    * 1099511627776.0) AS BIGINT) AS thr
+  FROM have JOIN (VALUES {weights_rows}) w(source, w) ON w.source = have.source
+),
+sampled AS (
+  SELECT tok.source, tok.n_tok
+  FROM tok JOIN thr ON thr.source = tok.source
+  WHERE {key} < thr.thr
+)
+SELECT source, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens
+FROM sampled GROUP BY source
+"""
+
+
+SQL_TOKEN_MIX = _sql_token_mix()
 
 
 # ---------------------------------------------------------------- similarity
@@ -1778,8 +1958,7 @@ QUERIES = {
     "probabilistic_sampler": q_probabilistic_sampler,
     "unroll_explode": q_unroll_explode,
     "router_first_match": q_router_first_match,
-    "count_connector": q_count_connector,
-    "sum_connector": q_sum_connector,
+    "count_sum_connectors": q_count_sum_connectors,
     "logdedup_window": q_logdedup_window,
     "recombine_sessionize": q_recombine_sessionize,
     "enrich_broadcast_chain": q_enrich_broadcast_chain,
@@ -1806,10 +1985,11 @@ QUERIES = {
     "attributes_resource_detect": q_attributes_resource_detect,
     "metrics_transform": q_metrics_transform,
     "load_balancing": q_load_balancing,
-    "fan_in_union": q_fan_in_union,
     "exact_dedup": q_exact_dedup,
     "text_quality": q_text_quality,
-    "lang_id_stopword": q_lang_id_stopword,
+    "lang_id": q_lang_id,
+    "sequence_packing": q_sequence_packing,
+    "token_mix": q_token_mix,
     "cosine_topk": q_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_dedup_pairs": q_embedding_dedup_pairs,
@@ -1831,8 +2011,7 @@ ORACLES = {
     "probabilistic_sampler": SQL_PROBABILISTIC_SAMPLER,
     "unroll_explode": SQL_UNROLL_EXPLODE,
     "router_first_match": SQL_ROUTER_FIRST_MATCH,
-    "count_connector": SQL_COUNT_CONNECTOR,
-    "sum_connector": SQL_SUM_CONNECTOR,
+    "count_sum_connectors": SQL_COUNT_SUM_CONNECTORS,
     "logdedup_window": SQL_LOGDEDUP_WINDOW,
     "recombine_sessionize": SQL_RECOMBINE_SESSIONIZE,
     "enrich_broadcast_chain": SQL_ENRICH_BROADCAST_CHAIN,
@@ -1859,10 +2038,11 @@ ORACLES = {
     "attributes_resource_detect": SQL_ATTRIBUTES_RESOURCE_DETECT,
     "metrics_transform": SQL_METRICS_TRANSFORM,
     "load_balancing": SQL_LOAD_BALANCING,
-    "fan_in_union": SQL_FAN_IN_UNION,
     "exact_dedup": SQL_EXACT_DEDUP,
     "text_quality": SQL_TEXT_QUALITY,
-    "lang_id_stopword": SQL_LANG_ID_STOPWORD,
+    "lang_id": SQL_LANG_ID,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
+    "token_mix": SQL_TOKEN_MIX,
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_dedup_pairs": SQL_EMBEDDING_DEDUP_PAIRS,

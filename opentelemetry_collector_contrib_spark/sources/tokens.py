@@ -146,31 +146,53 @@ def generate_tokens_table(n: int, seed: int = 42) -> pa.Table:
     return _lines_to_arrow(lines, src_idx)
 
 
+def _write_chunk(args: tuple) -> None:
+    path, i, m, seed, row_group_size = args
+    tbl = generate_tokens_table(m, seed + i)
+    # small row groups keep the files splittable — a single giant row
+    # group caps scan parallelism at file count regardless of cores
+    pq.write_table(
+        tbl, os.path.join(path, f"part-{i:05d}.parquet"), row_group_size=row_group_size
+    )
+
+
 def write_tokens_parquet(
-    path: str, n: int, seed: int = 42, chunk: int = 250_000, row_group_size: int = 32_768
+    path: str,
+    n: int,
+    seed: int = 42,
+    chunk: int = 250_000,
+    row_group_size: int = 32_768,
+    workers: int | None = None,
 ) -> str:
     """Materialize the synthetic table to parquet, chunked so memory stays flat.
 
     Each chunk is generated with seed+chunk_index — deterministic for a given
-    (n, seed, chunk). Files are written one-per-chunk so Spark parallelizes
-    the scan.
+    (n, seed, chunk) regardless of worker count. Files are written
+    one-per-chunk so Spark parallelizes the scan; chunks are generated by a
+    process pool (chunk generation is pure CPU — single-threaded, 80M rows
+    would cost ~20 min; 16 workers bring it under 2).
     """
     os.makedirs(path, exist_ok=True)
     done = os.path.join(path, "_SUCCESS")
     if os.path.exists(done):
         return path
-    i = 0
-    start = 0
+    jobs = []
+    i, start = 0, 0
     while start < n:
         m = min(chunk, n - start)
-        tbl = generate_tokens_table(m, seed + i)
-        # small row groups keep the files splittable — a single giant row
-        # group caps scan parallelism at file count regardless of cores
-        pq.write_table(
-            tbl, os.path.join(path, f"part-{i:05d}.parquet"), row_group_size=row_group_size
-        )
+        jobs.append((path, i, m, seed, row_group_size))
         start += m
         i += 1
+    if workers is None:
+        workers = min(16, os.cpu_count() or 4, len(jobs))
+    if workers <= 1 or len(jobs) == 1:
+        for j in jobs:
+            _write_chunk(j)
+    else:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(_write_chunk, jobs, chunksize=1))
     with open(done, "w"):
         pass
     return path

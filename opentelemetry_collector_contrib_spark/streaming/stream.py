@@ -390,3 +390,213 @@ def streaming_signal_to_metrics(
             .start()
         )
     return queries
+
+
+def stateful_service_graph_stream(
+    spans: DataFrame,
+    trace_col: str = "trace_id",
+    span_col: str = "span_id",
+    parent_col: str = "parent_span_id",
+    kind_col: str = "span_kind",
+    service_col: str = "service",
+    duration_col: str = "duration",
+    failed_col: str | None = None,
+    store_ttl_ms: int = 30000,
+) -> DataFrame:
+    """servicegraph pair-matching as a CUSTOM STATEFUL streaming transform.
+
+    The reference keeps a continuous in-memory store keyed by
+    (traceID, spanID): a CLIENT span waits for the SERVER span whose
+    parentSpanID equals its spanID, edges emit when the pair completes, and
+    unmatched entries expire after the store TTL
+    (``connector/servicegraphconnector/connector.go:263-300``,
+    ``internal/store/store.go``). Here the store IS the group state of
+    ``applyInPandasWithState`` keyed by (trace, join_span): each side
+    buffers until its counterpart arrives — possibly in a LATER micro-batch
+    — then one edge row per pair emits; a processing-time timeout evicts
+    unmatched state after ``store_ttl_ms`` (the TTL). FIFO one-to-one
+    matching, like the store's single entry per key.
+
+    Returns the streaming DataFrame of EDGE rows (client_service,
+    server_service, client_duration, server_duration, failed) — feed them
+    to the same aggregation the batch operator uses. Scale shape: state is
+    partitioned by the join key across executors; per-key state is O(dup
+    spans) ≈ O(1).
+    """
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, DoubleType, StringType, StructField, StructType,
+    )
+
+    clients = spans.filter(
+        F.upper(F.col(kind_col)).isin("CLIENT", "SPAN_KIND_CLIENT")
+    ).select(
+        F.col(trace_col).alias("_t"),
+        F.col(span_col).alias("_jspan"),
+        F.lit("c").alias("_role"),
+        F.col(service_col).alias("_svc"),
+        F.col(duration_col).cast("double").alias("_dur"),
+        (F.col(failed_col) if failed_col else F.lit(False)).alias("_failed"),
+    )
+    servers = spans.filter(
+        F.upper(F.col(kind_col)).isin("SERVER", "SPAN_KIND_SERVER")
+    ).select(
+        F.col(trace_col).alias("_t"),
+        F.col(parent_col).alias("_jspan"),
+        F.lit("s").alias("_role"),
+        F.col(service_col).alias("_svc"),
+        F.col(duration_col).cast("double").alias("_dur"),
+        (F.col(failed_col) if failed_col else F.lit(False)).alias("_failed"),
+    )
+    both = clients.unionByName(servers)
+
+    out_schema = StructType(
+        [
+            StructField("client_service", StringType()),
+            StructField("server_service", StringType()),
+            StructField("client_duration", DoubleType()),
+            StructField("server_duration", DoubleType()),
+            StructField("failed", BooleanType()),
+        ]
+    )
+    # unmatched halves ride as JSON strings: tiny (one pending span per key
+    # in the normal case), schema-stable
+    state_schema = StructType(
+        [
+            StructField("clients", ArrayType(StringType())),
+            StructField("servers", ArrayType(StringType())),
+        ]
+    )
+
+    def match(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:  # store TTL: evict unmatched halves
+            state.remove()
+            return
+        pend_c, pend_s = ([], [])
+        if state.exists:
+            pc, ps = state.get
+            pend_c, pend_s = list(pc), list(ps)
+        for pdf in pdf_iter:
+            for _, r in pdf.iterrows():
+                rec = json.dumps(
+                    {"svc": r["_svc"], "dur": float(r["_dur"]), "f": bool(r["_failed"])}
+                )
+                (pend_c if r["_role"] == "c" else pend_s).append(rec)
+        edges = []
+        while pend_c and pend_s:
+            c = json.loads(pend_c.pop(0))
+            s = json.loads(pend_s.pop(0))
+            edges.append(
+                {
+                    "client_service": c["svc"],
+                    "server_service": s["svc"],
+                    "client_duration": c["dur"],
+                    "server_duration": s["dur"],
+                    "failed": c["f"] or s["f"],
+                }
+            )
+        if pend_c or pend_s:
+            state.update((pend_c, pend_s))
+            state.setTimeoutDuration(store_ttl_ms)
+        elif state.exists:
+            state.remove()
+        if edges:
+            yield pd.DataFrame(edges)
+
+    return both.groupBy("_t", "_jspan").applyInPandasWithState(
+        match, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+
+def streaming_service_graph(
+    spark: SparkSession,
+    input_df: DataFrame,
+    out_dir: str,
+    buckets: list[float] | None = None,
+    store_ttl_ms: int = 30000,
+    **span_cols,
+):
+    """File-to-file servicegraph: stateful pair matching
+    (:func:`stateful_service_graph_stream`) then the SAME edge aggregation
+    the batch operator computes, per micro-batch (append with batch_id —
+    additive aggregates, so readers SUM across batch rows per edge; pinned
+    equal to batch ``service_graph`` in tests/test_streaming2.py)."""
+    edges = stateful_service_graph_stream(input_df, store_ttl_ms=store_ttl_ms, **span_cols)
+    bounds = buckets or [2, 4, 6, 8, 10, 50, 100, 200, 400, 800]
+    sdur = F.col("server_duration")
+    aggs = [
+        F.count(F.lit(1)).alias("req_total"),
+        F.sum(F.col("failed").cast("long")).alias("req_failed_total"),
+        F.sum("client_duration").alias("client_duration_sum"),
+        F.sum("server_duration").alias("server_duration_sum"),
+    ]
+    lo = None
+    for b in bounds:
+        cond = (sdur <= b) if lo is None else ((sdur > lo) & (sdur <= b))
+        aggs.append(F.sum(cond.cast("long")).alias(f"server_le_{str(b).replace('.', '_')}"))
+        lo = b
+    aggs.append(F.sum((sdur > lo).cast("long")).alias("server_le_inf"))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("client_service", "server_service")
+            .agg(*aggs)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(os.path.join(out_dir, "service_graph"))
+        )
+
+    return (
+        edges.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_ck_servicegraph"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_exceptions(
+    spark: SparkSession,
+    input_df: DataFrame,
+    out_dir: str,
+    dimensions: list[str] | None = None,
+    ts_col: str = "ts",
+    interval: str = "10 seconds",
+    watermark: str = "30 seconds",
+    **conn_kwargs,
+):
+    """exceptionsconnector in streaming form: tumbling-window exception
+    counts per (service, span name, kind, status) — the reference emits its
+    counters continuously per Consume* call; the window makes the emission
+    boundary explicit and the watermark bounds state. Reuses the batch
+    operator over the windowed frame (one stateful aggregation);
+    update-mode emission, same reader contract as streaming_span_metrics."""
+    from ..operators.connectors import exceptions_connector
+
+    windowed = (
+        input_df.withWatermark(ts_col, watermark)
+        .withColumn("_w", F.window(ts_col, interval))
+    )
+    agg = exceptions_connector(
+        windowed, dimensions=dimensions, window_col="_w", **conn_kwargs
+    )
+    agg = agg.select(
+        F.col("_w.start").alias("window_start"),
+        *[c for c in agg.columns if c != "_w"],
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            os.path.join(out_dir, "exceptions")
+        )
+
+    return (
+        agg.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_ck_exceptions"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -215,6 +215,29 @@ class TestServiceGraphAndFriends:
         got = {r.i: r.endpoint for r in out.collect()}
         assert got == {i: i % 3 for i in range(10)}
 
+    def test_round_robin_bucketed_matches_global(self, spark):
+        """order_bucket_span mode: same assignment as the global window
+        (unique order col), even modulo distribution, and NO single-
+        partition exchange over the data in the plan."""
+        from opentelemetry_collector_contrib_spark.operators.connectors import (
+            round_robin,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "i int").repartition(8)
+        out = round_robin(df, 7, "i", order_bucket_span=50)
+        got = {r.i: r.endpoint for r in out.collect()}
+        assert got == {i: i % 7 for i in range(500)}
+        counts = sorted(
+            r[1] for r in out.groupBy("endpoint").count().collect()
+        )
+        assert max(counts) - min(counts) <= 1  # even spread
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the data-path window must be keyed by the bucket column (hash
+        # exchange), not a global orderBy (single-partition exchange); the
+        # per-bucket offsets frame is broadcast
+        assert "windowspecdefinition(_rr_bkt" in plan
+        assert "BroadcastExchange" in plan
+
     def test_failover_write(self, spark, tmp_path):
         from opentelemetry_collector_contrib_spark.sources.sinks import failover_write
 

@@ -159,3 +159,43 @@ class TestPackScaleProperties:
         assert len(padded) <= 8  # at most one tail per partition
         ids = [r.seq_id for r in out]
         assert len(ids) == len(set(ids))
+
+
+class TestLangId:
+    def test_planted_docs_classify_correctly(self, spark):
+        """Every planted fr/de/es/it/en doc must classify to its true
+        language (the r4 english-density heuristic could not do this)."""
+        from opentelemetry_collector_contrib_spark.plans.catalog import LANG_ID_PLANTS
+
+        df = spark.createDataFrame(LANG_ID_PLANTS, "doc_id long, text string, lang string")
+        out = df.withColumn("pred", quality.lang_id(F.col("text"))).collect()
+        for r in out:
+            assert r.pred == r.lang, (r.lang, r.pred, r.text)
+
+    def test_no_hits_is_und(self, spark):
+        df = spark.createDataFrame([(1, "zzz qqq xxx 123")], "doc_id long, text string")
+        assert df.select(quality.lang_id(F.col("text")).alias("p")).first().p == "und"
+
+    def test_tie_break_is_deterministic(self, spark):
+        # 'la' hits both fr and es profiles equally -> first in LANG_ORDER wins (fr)
+        df = spark.createDataFrame([(1, "la la la")], "doc_id long, text string")
+        assert df.select(quality.lang_id(F.col("text")).alias("p")).first().p == "fr"
+
+
+class TestDeterministicMix:
+    def test_hash_mode_is_partitioning_invariant(self, spark):
+        rows = [(i, f"src{i % 3}", 100 + i) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+        w = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+        a = training.stratified_token_mix(df.repartition(1), w, 9000, id_col="doc_id")
+        b = training.stratified_token_mix(df.repartition(7), w, 9000, id_col="doc_id")
+        ids_a = sorted(r.doc_id for r in a.collect())
+        ids_b = sorted(r.doc_id for r in b.collect())
+        assert ids_a == ids_b and len(ids_a) > 0
+
+    def test_hash_mode_hits_budget_approximately(self, spark):
+        rows = [(i, "s", 10) for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+        out = training.stratified_token_mix(df, {"s": 1.0}, 10000, id_col="doc_id")
+        got = out.agg(F.sum("n_tok")).first()[0]
+        assert abs(got - 10000) / 10000 < 0.1  # binomial tolerance at n=2000

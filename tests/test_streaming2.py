@@ -1,0 +1,162 @@
+"""Streaming servicegraph + exceptions pinned equal to their batch forms.
+
+The servicegraph test splits client and server spans into SEPARATE input
+files consumed one per micro-batch (maxFilesPerTrigger=1), so pairs only
+complete when the applyInPandasWithState store carries the waiting half
+across batches — the reference's wait-for-pair semantics
+(connector/servicegraphconnector/connector.go:263-300), not a same-batch
+join.
+"""
+
+import datetime
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SPAN_SCHEMA = (
+    "trace_id string, span_id string, parent_span_id string, span_kind string, "
+    "service string, duration double, failed boolean"
+)
+
+
+def _spans():
+    rows = []
+    for i in range(60):
+        t = f"tr{i}"
+        rows.append((t, f"c{i}", "root", "CLIENT", f"svc{i % 3}", float(10 + i % 40), i % 7 == 0))
+        # 50 matched server spans; 10 traces left unmatched (client only)
+        if i < 50:
+            rows.append((t, f"s{i}", f"c{i}", "SERVER", f"be{i % 2}", float(5 + i % 90), i % 11 == 0))
+    return rows
+
+
+def test_streaming_service_graph_matches_batch(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.operators.connectors import service_graph
+    from opentelemetry_collector_contrib_spark.streaming.stream import (
+        streaming_service_graph,
+    )
+
+    rows = _spans()
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    inp = tmp_path / "spans_in"
+    # clients in file 1, servers in file 2 → pair halves arrive in
+    # different micro-batches; the state store must hold the clients
+    df.filter("span_kind = 'CLIENT'").coalesce(1).write.parquet(str(inp / "f1"))
+    df.filter("span_kind = 'SERVER'").coalesce(1).write.parquet(str(inp / "f2"))
+
+    stream_in = (
+        spark.readStream.schema(SPAN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp / "*"))
+    )
+    out = str(tmp_path / "sg_out")
+    q = streaming_service_graph(
+        spark, stream_in, out, failed_col="failed", buckets=[20, 60]
+    )
+    q.awaitTermination(180)
+
+    got_df = spark.read.parquet(out + "/service_graph")
+    # additive per-batch aggregates: SUM across batch rows per edge
+    num_cols = [c for c in got_df.columns if c not in
+                ("client_service", "server_service", "batch_id")]
+    got = {
+        (r.client_service, r.server_service): tuple(r[c] for c in num_cols)
+        for r in got_df.groupBy("client_service", "server_service")
+        .agg(*[F.sum(c).alias(c) for c in num_cols])
+        .collect()
+    }
+
+    batch = service_graph(df, failed_col="failed", buckets=[20, 60])
+    want = {
+        (r.client_service, r.server_service): tuple(r[c] for c in num_cols)
+        for r in batch.collect()
+    }
+    assert got == want and len(want) >= 4
+    # unmatched clients never form edges
+    assert sum(v[0] for v in got.values()) == 50
+
+
+def test_streaming_service_graph_pairs_span_batches(spark, tmp_path):
+    """Sanity on the state itself: with one file per micro-batch, batch 1
+    (clients only) emits nothing; edges only appear once servers arrive."""
+    from opentelemetry_collector_contrib_spark.streaming.stream import (
+        streaming_service_graph,
+    )
+
+    rows = _spans()
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    inp = tmp_path / "in2"
+    df.filter("span_kind = 'CLIENT'").coalesce(1).write.parquet(str(inp / "f1"))
+    df.filter("span_kind = 'SERVER'").coalesce(1).write.parquet(str(inp / "f2"))
+    stream_in = (
+        spark.readStream.schema(SPAN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp / "*"))
+    )
+    out = str(tmp_path / "sg_out2")
+    q = streaming_service_graph(spark, stream_in, out, failed_col="failed")
+    q.awaitTermination(180)
+    got_df = spark.read.parquet(out + "/service_graph")
+    batches_with_edges = {r.batch_id for r in got_df.select("batch_id").distinct().collect()}
+    assert len(batches_with_edges) == 1  # only the batch where pairs completed
+
+
+def test_streaming_exceptions_matches_batch(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.operators.connectors import (
+        exceptions_connector,
+    )
+    from opentelemetry_collector_contrib_spark.streaming.stream import (
+        streaming_exceptions,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(120):
+        rows.append(
+            (
+                base + datetime.timedelta(seconds=i % 25),
+                f"svc{i % 2}", f"op{i % 3}", "SERVER", "ERROR", f"t{i}",
+                [{"name": "exception",
+                  "attributes": {"exception.type": "IOError" if i % 2 else "ValueError"}}]
+                if i % 4 else [],
+            )
+        )
+    schema = (
+        "ts timestamp, service string, span_name string, span_kind string, "
+        "status_code string, trace_id string, "
+        "events array<struct<name:string, attributes:map<string,string>>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    inp = tmp_path / "exc_in"
+    df.coalesce(1).write.parquet(str(inp))
+
+    stream_in = spark.readStream.schema(schema).parquet(str(inp))
+    out = str(tmp_path / "exc_out")
+    q = streaming_exceptions(
+        spark, stream_in, out, dimensions=["exception.type"],
+        interval="10 seconds",
+    )
+    q.awaitTermination(120)
+
+    got_df = spark.read.parquet(out + "/exceptions")
+    w = Window.partitionBy(
+        "window_start", "service_name", "span_name", "exception_type"
+    ).orderBy(F.desc("batch_id"))
+    latest = (
+        got_df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    )
+    got = {
+        (str(r.window_start), r.service_name, r.span_name, r.exception_type): r.exceptions
+        for r in latest.collect()
+    }
+
+    batch = exceptions_connector(
+        df.withColumn("_w", F.window("ts", "10 seconds")),
+        dimensions=["exception.type"],
+        window_col="_w",
+    )
+    want = {
+        (str(r["_w"].start), r.service_name, r.span_name, r.exception_type): r.exceptions
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 4
