@@ -118,10 +118,19 @@ def shingle_hash_frame(
     return d.select("id", hs.alias("hs"))
 
 
-def minhash_salts(num_hashes: int, seed: int = 1) -> list[int]:
-    """Deterministic 40-bit per-function salts for the portable signature —
-    plain integer literals both Spark and DuckDB SQL embed verbatim."""
-    return [ph.salt40(f"mh{seed}:{i}") for i in range(num_hashes)]
+def minhash_salts(num_hashes: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficient pairs for the portable signature's
+    affine permutation family — plain integer literals both Spark and
+    DuckDB SQL embed verbatim. ``a`` is odd and < 2^22 so ``a*x`` stays
+    under 2^62 (ANSI-safe) while ``(a*x + b) mod 2^40`` remains a BIJECTION
+    on Z_2^40 (odd multiplier) — i.e. each hash function is a genuine
+    permutation, the textbook minhash construction."""
+    out = []
+    for i in range(num_hashes):
+        a = (ph.salt40(f"mha{seed}:{i}") & ((1 << 22) - 1)) | 1
+        b = ph.salt40(f"mhb{seed}:{i}")
+        out.append((a, b))
+    return out
 
 
 def minhash_signature_from_hashes(
@@ -134,21 +143,25 @@ def minhash_signature_from_hashes(
     upstream; the 64 rehashes run over fixed 8-byte longs (~4× cheaper than
     re-hashing the string per function). Pure Column expressions, JVM-side.
 
-    ``hash_fn="portable"``: the i-th function is mix40(h XOR salt_i) over
-    portable 40-bit shingle hashes — same min-over-set structure, DuckDB-
-    reproducible output (the oracle embeds the identical salt literals).
+    ``hash_fn="portable"``: the i-th function is the affine permutation
+    ``(a_i·h + b_i) mod 2^40`` over portable 40-bit shingle hashes — same
+    min-over-set structure, DuckDB-reproducible output (the oracle embeds
+    the identical (a, b) literals). Three arithmetic ops per element keeps
+    the interpreted-HOF cost in the same class as the xxhash64 intrinsic
+    (the first portable cut ran a 15-op mixer per element — measured 6×
+    slower on the sf0.1 row).
     """
     if hash_fn == "portable":
-        # NB: bind the salt via a factory, NOT a default arg — F.transform
-        # passes (element, index) to 2-parameter lambdas, silently shadowing
-        # a `lambda h, s=s:` binding with the array index.
-        def _fn(salt):
-            return lambda h: ph.mix40_col(h.bitwiseXOR(F.lit(salt)))
+        # NB: bind coefficients via a factory, NOT default args —
+        # F.transform passes (element, index) to 2-parameter lambdas,
+        # silently shadowing default-arg bindings with the array index.
+        def _fn(a, b):
+            return lambda h: (h * F.lit(a) + F.lit(b)).bitwiseAND(F.lit(ph.MASK40))
 
         return F.array(
             *[
-                F.array_min(F.transform(hash_col, _fn(s)))
-                for s in minhash_salts(num_hashes, seed)
+                F.array_min(F.transform(hash_col, _fn(a, b)))
+                for a, b in minhash_salts(num_hashes, seed)
             ]
         )
     return F.array(
@@ -203,9 +216,34 @@ def minhash_lsh_pairs(
     # signature references it num_hashes times, and Spark does no CSE across
     # those references — inline, the shingle build would run 32×/row.
     hs = shingle_hash_frame(df, text_col, id_col, k_shingle, hash_fn=hash_fn)
-    base = hs.select(
-        "id", minhash_signature_from_hashes(F.col("hs"), num_hashes, hash_fn=hash_fn).alias("sig")
-    )
+    if hash_fn == "portable":
+        # affine permutations in ONE numpy broadcast per Arrow batch:
+        # (a[:,None]·hs[None,:] + b[:,None]) & MASK, min over shingles.
+        # int64 intermediates stay < 2^62 (a < 2^22, hs < 2^40) so this is
+        # BIT-IDENTICAL to the Column/SQL formulation the oracle pins —
+        # just evaluated at numpy speed instead of interpreted-HOF speed.
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        ab = np.array(minhash_salts(num_hashes), dtype=np.int64)
+        av, bv = ab[:, 0:1], ab[:, 1:2]
+
+        # no type hints: `from __future__ import annotations` stringifies
+        # them and the resolver can't see the function-local pandas import
+        @pandas_udf("array<long>")
+        def sig_udf(col):
+            out = []
+            for hsv in col:
+                h = np.asarray(hsv, dtype=np.int64)[None, :]
+                out.append(((av * h + bv) & ph.MASK40).min(axis=1))
+            return pd.Series(out)
+
+        base = hs.select("id", sig_udf(F.col("hs")).alias("sig"))
+    else:
+        base = hs.select(
+            "id",
+            minhash_signature_from_hashes(F.col("hs"), num_hashes, hash_fn=hash_fn).alias("sig"),
+        )
     if hash_fn == "portable":
         def band_hash(b):
             return ph.mix40_col(

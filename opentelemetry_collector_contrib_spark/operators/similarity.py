@@ -170,24 +170,22 @@ def lsh_topk_deterministic(
 
     dim = len(query)
     planes = [ph.rademacher(f"{tag}:p{p}", dim) for p in range(bits)]
-    vec = F.transform(vec_col, lambda x: x.cast("double"))
-    vq = F.transform(vec, lambda x: F.floor(x * scale).cast("long"))
-    df = df.withColumn("_vq", vq)
+    pm = np.array(planes, dtype=np.int64)  # (bits, dim) of ±1
+    weights = 1 << np.arange(bits, dtype=np.int64)
 
-    def dot(plane):
-        w = F.array(*[F.lit(int(x)).cast("long") for x in plane])
-        return F.aggregate(
-            F.zip_with(F.col("_vq"), w, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda a, b: a + b,
-        )
+    # signature via ONE integer numpy matmul per Arrow batch: float64
+    # quantize (floor(v·scale)) then int64 dot products — integer sums are
+    # exact in any order, so the result is BIT-IDENTICAL to the per-element
+    # Column/SQL formulation the oracle uses, at BLAS speed rather than
+    # interpreted-HOF speed (measured ~9× on the sf0.1 row).
+    @pandas_udf("long")
+    def sig_udf(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        q = np.floor(m * scale).astype(np.int64)
+        bitsm = (q @ pm.T) > 0
+        return pd.Series((bitsm * weights).sum(axis=1))
 
-    sig = F.lit(0).cast("long")
-    for p in range(bits):
-        sig = sig + F.when(dot(planes[p]) > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    df = df.withColumn("_sig", sig)
+    df = df.withColumn("_sig", sig_udf(F.col(vec_col)))
 
     import math
 

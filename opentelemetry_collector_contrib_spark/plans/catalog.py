@@ -1737,8 +1737,8 @@ def _sql_minhash_lsh() -> str:
     rpb = nh // bands
     shingle = ph.mix40_sql(ph.polyfold40_sql(f"wh[i+1:i+{k}]"))
     sig_exprs = ",\n         ".join(
-        f"list_min(list_transform(shs, h -> {ph.mix40_sql(f'xor(h, {s})')}))"
-        for s in minhash_salts(nh)
+        f"list_min(list_transform(shs, h -> (h * {a} + {b}) & {ph.MASK40}))"
+        for a, b in minhash_salts(nh)
     )
     band_hash = ph.mix40_sql(ph.polyfold40_sql(f"sig[band*{rpb}+1 : band*{rpb}+{rpb}]"))
     simhash40 = (

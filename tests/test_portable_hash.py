@@ -118,8 +118,8 @@ def test_portable_signature_equals_duckdb(spark, docs):
     con.register("documents", docs.toPandas())
     shingle = ph.mix40_sql(ph.polyfold40_sql(f"wh[i+1:i+{k}]"))
     sig_exprs = ", ".join(
-        f"list_min(list_transform(shs, h -> {ph.mix40_sql(f'xor(h, {s})')}))"
-        for s in dedup.minhash_salts(nh)
+        f"list_min(list_transform(shs, h -> (h * {a} + {b}) & {ph.MASK40}))"
+        for a, b in dedup.minhash_salts(nh)
     )
     simhash40 = (
         "list_reduce(list_concat([0::BIGINT], list_transform(range(0, 40), i -> "
