@@ -81,6 +81,48 @@ def interval_last(
     )
 
 
+def interval_processor(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "mtype",
+    monotonic_col: str = "monotonic",
+    temporality_col: str = "temporality",
+    pass_through_gauge: bool = False,
+    pass_through_summary: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """intervalprocessor's full consume-then-flush split (processor.go:
+    104-170): returns ``(passthrough, flushed)``.
+
+    Pass-through (forwarded immediately, never aggregated): summaries and
+    gauges when their PassThrough config flag is set, non-monotonic sums,
+    and any non-cumulative (delta) temporality. Everything else keeps only
+    the LAST datapoint per series (latest ``ts`` wins — out-of-order points
+    are dropped, processor.go:270-292 via the lookup tables) and emits it
+    at the flush. ``temporality`` uses pdata numbering (2 = cumulative).
+    """
+    is_sum_like = F.col(type_col).isin("sum", "histogram", "exponential_histogram")
+    pt = (
+        (F.col(type_col) == "summary") & F.lit(pass_through_summary)
+        | (F.col(type_col) == "gauge") & F.lit(pass_through_gauge)
+        | ((F.col(type_col) == "sum") & ~F.col(monotonic_col))
+        | (is_sum_like & (F.col(temporality_col) != 2))
+    )
+    passthrough = df.filter(pt)
+    flushed = (
+        df.filter(~pt)
+        .groupBy(*series_cols)
+        .agg(
+            F.max_by(value_col, ts_col).alias(value_col),
+            F.max(ts_col).alias(ts_col),
+            F.any_value(monotonic_col).alias(monotonic_col),
+            F.any_value(temporality_col).alias(temporality_col),
+        )
+    )
+    return passthrough, flushed
+
+
 def metric_start_time(
     df: DataFrame,
     key_cols: list[str],

@@ -426,3 +426,129 @@ def test_logdedup_include_fields_golden(spark):
         recs,
         ignore_attr_values=_DEDUP_IGNORES,
     )
+
+
+# --------------------------------------------- intervalprocessor golden ports
+
+def read_metric_points(path: str) -> list[dict]:
+    """pkg/golden ReadMetrics analog → flat number/any datapoints.
+
+    ``value`` carries asDouble/asInt when present (the aggregated flows);
+    ``raw`` is a canonical JSON of the datapoint body (minus attrs/time) so
+    pass-through cases compare shapes our numeric model doesn't aggregate
+    (histogram bucketCounts etc.) verbatim.
+    """
+    import json
+
+    with open(path) as fh:
+        doc = yaml.safe_load(fh) or {}
+    out = []
+    for rm in doc.get("resourceMetrics") or []:
+        for sm in rm.get("scopeMetrics", []):
+            for m in sm.get("metrics", []):
+                for mtype in ("gauge", "sum", "histogram", "summary"):
+                    body = m.get(mtype)
+                    if not body:
+                        continue
+                    for dp in body.get("dataPoints", []):
+                        attrs = {
+                            a["key"]: _val(a["value"])
+                            for a in dp.get("attributes") or []
+                        }
+                        val = None
+                        if "asDouble" in dp:
+                            val = float(dp["asDouble"])
+                        elif "asInt" in dp:
+                            val = float(int(dp["asInt"]))
+                        rest = {
+                            k: v for k, v in dp.items()
+                            if k not in ("attributes", "timeUnixNano")
+                        }
+                        out.append(
+                            {
+                                "metric_name": m["name"],
+                                "mtype": mtype,
+                                "monotonic": bool(body.get("isMonotonic", False)),
+                                "temporality": int(body.get("aggregationTemporality", 0)),
+                                "attrs": {k: _s(v) for k, v in attrs.items()},
+                                "ts": int(dp.get("timeUnixNano", 0)),
+                                "value": val,
+                                "raw": json.dumps(rest, sort_keys=True),
+                            }
+                        )
+    return out
+
+
+_MP_SCHEMA = (
+    "metric_name string, mtype string, monotonic boolean, temporality int, "
+    "attrs map<string,string>, ts long, value double, raw string"
+)
+
+
+def _mp_df(spark, points):
+    rows = [
+        (p["metric_name"], p["mtype"], p["monotonic"], p["temporality"],
+         p["attrs"], p["ts"], p["value"], p["raw"])
+        for p in points
+    ]
+    return spark.createDataFrame(rows, _MP_SCHEMA)
+
+
+def _canon_points(points, with_value=True):
+    return sorted(
+        (
+            p["metric_name"], p["mtype"], tuple(sorted(p["attrs"].items())),
+            p["ts"], p["value"] if with_value else p["raw"],
+        )
+        for p in points
+    )
+
+
+@pytest.mark.parametrize(
+    "case,pt_gauge",
+    [
+        ("basic_aggregation", False),
+        ("gauges_are_aggregated", False),
+        ("gauges_are_passed_through", True),
+        ("non_monotonic_sums_are_passed_through", False),
+        ("all_delta_metrics_are_passed_through", False),
+    ],
+)
+def test_interval_processor_golden(spark, case, pt_gauge):
+    """intervalprocessor TestAggregation cases (processor_test.go:23-110):
+    ``next`` receives the pass-through split verbatim, the flush emits the
+    LAST datapoint per series for everything aggregated, out-of-order
+    points dropped. Summary/exp-histogram cases are out of our numeric
+    model's scope (quantile/bucket aggregation states)."""
+    from opentelemetry_collector_contrib_spark.operators.metrics import (
+        interval_processor,
+    )
+
+    base = f"{REF}/processor/intervalprocessor/testdata/{case}"
+    inp = read_metric_points(f"{base}/input.yaml")
+    want_next = read_metric_points(f"{base}/next.yaml")
+    want_out = read_metric_points(f"{base}/output.yaml")
+
+    df = _mp_df(spark, inp)
+    passthrough, flushed = interval_processor(
+        df,
+        series_cols=["metric_name", "mtype", "attrs"],
+        pass_through_gauge=pt_gauge,
+    )
+    got_next = [
+        {"metric_name": r.metric_name, "mtype": r.mtype,
+         "attrs": dict(r.attrs), "ts": r.ts, "value": r.value, "raw": r.raw}
+        for r in passthrough.collect()
+    ]
+    got_out = [
+        {"metric_name": r.metric_name, "mtype": r.mtype,
+         "attrs": dict(r.attrs), "ts": r.ts, "value": r.value}
+        for r in flushed.collect()
+    ]
+    # pass-through side compares raw datapoint bodies (histogram shapes too)
+    assert _canon_points(want_next, with_value=False) == _canon_points(
+        got_next, with_value=False
+    )
+    assert _canon_points(want_out) == _canon_points(
+        [dict(p, raw=None) for p in got_out]
+    )
