@@ -75,6 +75,14 @@ from opentelemetry_collector_contrib_spark.plans.pipeline import run_pipeline
 spark = get_spark(master="local[{n}]", shuffle_partitions={n},
                   app_name="bench{n}",
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+# one UNTIMED warmup run: the first run in a fresh JVM carries JIT
+# compilation + Arrow/Python worker spin-up (measured 28s vs 17s warm at
+# local[8]) — discarding it applies equally to both levels of a pair, so
+# the ratio is unchanged in expectation while per-block variance drops ~2x
+out = "/tmp/bench_lvl_{n}_warm"
+shutil.rmtree(out, ignore_errors=True)
+run_pipeline(spark, {data!r}, out, write_sinks=False)
+shutil.rmtree(out, ignore_errors=True)
 walls = []
 for i in range({runs}):
     out = "/tmp/bench_lvl_{n}_" + str(i)
@@ -195,7 +203,13 @@ def main() -> None:
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
         app_name="bench",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # the sf1 section pushes 80M rows through a partitionBy sink on
+            # this same JVM — the 8g default heap OOM'd (GCLocker alloc
+            # failures killed the gateway); the box has 125 GiB
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+        },
     )
     # warm the executor pool + parquet reader + Python/Arrow UDF worker pool
     # so the FIRST query's number is the query, not session initialization
@@ -243,23 +257,32 @@ def main() -> None:
     # BENCH_SF1=0 skips it.
     sf1: dict = {}
     if os.environ.get("BENCH_SF1", "1") == "1":
-        rows10 = BENCH_ROWS * 10
-        cache10 = os.path.join(REPO, ".bench_data", f"tokens_{rows10}")
-        t0 = time.time()
-        write_tokens_parquet(cache10, rows10, seed=42)
-        log(f"sf1 cache ready in {time.time() - t0:.0f}s")
-        w10 = run_once(spark, cache10, f"sf1_{CPUS}", write_sinks=True)
-        sf1 = {
-            "sf1_pipeline_rows": rows10,
-            "sf1_pipeline_wall_sec": round(w10, 3),
-            "sf1_sequences_per_sec_with_sinks": round(rows10 / w10, 1),
-            "sf1_vs_sf01_rate_ratio": round((rows10 / w10) / rps_full, 3),
-        }
-        log(
-            f"sf1 pipeline+sinks local[{CPUS}]: {w10:.1f}s = "
-            f"{rows10 / w10:,.0f} rows/s ({sf1['sf1_vs_sf01_rate_ratio']}x the sf0.1 rate)"
-        )
-    spark.stop()
+        # never let the scale-evidence section kill the bench line — the
+        # JSON artifact must print even if the 10x run hits a host limit
+        try:
+            rows10 = BENCH_ROWS * 10
+            cache10 = os.path.join(REPO, ".bench_data", f"tokens_{rows10}")
+            t0 = time.time()
+            write_tokens_parquet(cache10, rows10, seed=42)
+            log(f"sf1 cache ready in {time.time() - t0:.0f}s")
+            w10 = run_once(spark, cache10, f"sf1_{CPUS}", write_sinks=True)
+            sf1 = {
+                "sf1_pipeline_rows": rows10,
+                "sf1_pipeline_wall_sec": round(w10, 3),
+                "sf1_sequences_per_sec_with_sinks": round(rows10 / w10, 1),
+                "sf1_vs_sf01_rate_ratio": round((rows10 / w10) / rps_full, 3),
+            }
+            log(
+                f"sf1 pipeline+sinks local[{CPUS}]: {w10:.1f}s = "
+                f"{rows10 / w10:,.0f} rows/s ({sf1['sf1_vs_sf01_rate_ratio']}x the sf0.1 rate)"
+            )
+        except Exception as e:
+            sf1 = {"sf1_error": str(e).splitlines()[0][:200]}
+            log(f"sf1 section failed: {sf1['sf1_error']}")
+    try:
+        spark.stop()
+    except Exception:
+        pass  # a dead gateway (sf1 OOM) must not eat the JSON line
 
     result = {
         "metric": "pipeline_e2e_wall_sec",

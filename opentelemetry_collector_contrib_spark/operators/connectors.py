@@ -331,6 +331,139 @@ def otlpjson_logs_connector(df: DataFrame, body_col: str = "body") -> DataFrame:
     )
 
 
+_OTLP_DP = (
+    f"struct<attributes: {_OTLP_ATTR}, startTimeUnixNano:string, "
+    "timeUnixNano:string, asInt:string, asDouble:double>"
+)
+_OTLP_METRICS_SCHEMA = (
+    "struct<resourceMetrics: array<struct<"
+    f"resource: struct<attributes: {_OTLP_ATTR}>, "
+    "scopeMetrics: array<struct<metrics: array<struct<"
+    "name:string, unit:string, "
+    f"gauge: struct<dataPoints: array<{_OTLP_DP}>>, "
+    "sum: struct<aggregationTemporality:int, isMonotonic:boolean, "
+    f"dataPoints: array<{_OTLP_DP}>>>>>>>>>"
+)
+_OTLP_TRACES_SCHEMA = (
+    "struct<resourceSpans: array<struct<"
+    f"resource: struct<attributes: {_OTLP_ATTR}>, "
+    "scopeSpans: array<struct<spans: array<struct<"
+    "traceId:string, spanId:string, parentSpanId:string, name:string, "
+    f"kind:int, startTimeUnixNano:string, endTimeUnixNano:string, "
+    f"attributes: {_OTLP_ATTR}, "
+    "status: struct<code:int, message:string>>>>>>>>"
+)
+
+
+def otlpjson_metrics_connector(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """``connector/otlpjsonconnector`` (logs→metrics, ``metrics.go:43-79``):
+    records whose body is an OTLP/JSON Metrics payload re-emit their
+    embedded NUMBER datapoints as flat rows (gauge + sum with temporality/
+    monotonicity); log/trace payloads and unparseable bodies are skipped.
+    Same sniff → from_json → explode_outer chain as the logs form — one
+    extra level (4: resourceMetrics → scopeMetrics → metrics → dataPoints).
+    """
+    src = F.col(body_col)
+    parsed = df.filter(src.rlike(OTLPJSON_METRIC_RE)).select(
+        F.from_json(src, _OTLP_METRICS_SCHEMA).alias("_pm")
+    )
+
+    # pdata's unmarshal rejects the WHOLE payload when any datapoint is
+    # malformed (connector_test.go "invalid metric" expects 0 outputs for a
+    # payload whose asInt isn't an integer) — mirror that with a nested
+    # exists over every datapoint's asInt parseability (try_cast: ANSI mode
+    # would otherwise throw on the probe itself).
+    def _bad_dp(dp):
+        return dp["asInt"].isNotNull() & dp["asInt"].try_cast("long").isNull()
+
+    def _bad_metric(m):
+        return F.exists(
+            F.coalesce(m["gauge"]["dataPoints"], F.array()), _bad_dp
+        ) | F.exists(F.coalesce(m["sum"]["dataPoints"], F.array()), _bad_dp)
+
+    bad = F.exists(
+        F.coalesce(F.col("_pm.resourceMetrics"), F.array()),
+        lambda rm: F.exists(
+            F.coalesce(rm["scopeMetrics"], F.array()),
+            lambda sm: F.exists(F.coalesce(sm["metrics"], F.array()), _bad_metric),
+        ),
+    )
+    rm = (
+        parsed.filter(F.col("_pm").isNotNull() & ~bad)
+        .select(F.explode_outer("_pm.resourceMetrics").alias("_rm"))
+        .filter(F.col("_rm").isNotNull())
+    )
+    m = (
+        rm.select(
+            _otlp_attr_map(F.col("_rm.resource.attributes")).alias("resource"),
+            F.explode_outer("_rm.scopeMetrics").alias("_sm"),
+        )
+        .filter(F.col("_sm").isNotNull())
+        .select("resource", F.explode_outer("_sm.metrics").alias("_m"))
+        .filter(F.col("_m").isNotNull())
+    )
+    # gauge/sum union: one row per datapoint with its metric shape
+    def _points(kind):
+        base = m.filter(F.col(f"_m.{kind}").isNotNull()).select(
+            "resource",
+            F.col("_m.name").alias("metric_name"),
+            F.col("_m.unit").alias("unit"),
+            F.lit(kind).alias("mtype"),
+            (F.col("_m.sum.isMonotonic") if kind == "sum" else F.lit(None).cast("boolean")).alias("monotonic"),
+            (F.col("_m.sum.aggregationTemporality") if kind == "sum" else F.lit(None).cast("int")).alias("temporality"),
+            F.explode_outer(f"_m.{kind}.dataPoints").alias("_dp"),
+        ).filter(F.col("_dp").isNotNull())
+        return base.select(
+            "resource", "metric_name", "unit", "mtype", "monotonic", "temporality",
+            _otlp_attr_map(F.col("_dp.attributes")).alias("attributes"),
+            F.col("_dp.startTimeUnixNano").cast("long").alias("start_time_unix_nano"),
+            F.col("_dp.timeUnixNano").cast("long").alias("time_unix_nano"),
+            F.coalesce(
+                F.col("_dp.asDouble"), F.col("_dp.asInt").try_cast("double")
+            ).alias("value"),
+        )
+
+    return _points("gauge").unionByName(_points("sum"))
+
+
+def otlpjson_traces_connector(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """``connector/otlpjsonconnector`` (logs→traces, ``traces.go:43-79``):
+    records whose body is an OTLP/JSON Traces payload re-emit their
+    embedded spans as flat rows; other payloads skipped."""
+    src = F.col(body_col)
+    parsed = df.filter(src.rlike(OTLPJSON_TRACE_RE)).select(
+        F.from_json(src, _OTLP_TRACES_SCHEMA).alias("_pt")
+    )
+    rs = (
+        parsed.filter(F.col("_pt").isNotNull())
+        .select(F.explode_outer("_pt.resourceSpans").alias("_rs"))
+        .filter(F.col("_rs").isNotNull())
+    )
+    sp = (
+        rs.select(
+            _otlp_attr_map(F.col("_rs.resource.attributes")).alias("resource"),
+            F.explode_outer("_rs.scopeSpans").alias("_ss"),
+        )
+        .filter(F.col("_ss").isNotNull())
+        .select("resource", F.explode_outer("_ss.spans").alias("_sp"))
+        .filter(F.col("_sp").isNotNull())
+    )
+    return sp.select(
+        "resource",
+        F.coalesce(F.col("_sp.traceId"), F.lit("")).alias("trace_id"),
+        F.coalesce(F.col("_sp.spanId"), F.lit("")).alias("span_id"),
+        # pdata span IDs are fixed-size byte arrays — absent == empty string
+        F.coalesce(F.col("_sp.parentSpanId"), F.lit("")).alias("parent_span_id"),
+        F.col("_sp.name").alias("span_name"),
+        F.col("_sp.kind").alias("span_kind"),
+        F.col("_sp.startTimeUnixNano").cast("long").alias("start_time_unix_nano"),
+        F.col("_sp.endTimeUnixNano").cast("long").alias("end_time_unix_nano"),
+        _otlp_attr_map(F.col("_sp.attributes")).alias("attributes"),
+        F.col("_sp.status.code").alias("status_code"),
+        F.col("_sp.status.message").alias("status_message"),
+    )
+
+
 # ---------------------------------------------------------- signaltometrics
 
 @dataclass

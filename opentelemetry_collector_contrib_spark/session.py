@@ -51,6 +51,19 @@ def get_spark(
         # (parsers.dedup_entries_last_win) so semantics don't depend on
         # whose SparkSession runs them.
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # Spark 4.1.2's single-threaded PythonRunner deadlocks under worker
+        # REUSE once an Arrow-UDF stage runs enough tasks per worker
+        # (observed reliably at 320 tasks / 32 threads on an 80M-row run:
+        # the job parks with one task in EPoll.wait while an orphaned
+        # worker blocks in tcp_sendmsg — jstack + /proc/<pid>/stack
+        # evidence in docs/SCALE.md). A fresh daemon-forked worker per task
+        # costs ~20% wall on small local runs but removes the hang class
+        # entirely; long-task production stages barely notice the fork.
+        # SPARK_GRAFT_WORKER_REUSE=true restores reuse for experiments.
+        .config(
+            "spark.python.worker.reuse",
+            os.environ.get("SPARK_GRAFT_WORKER_REUSE", "false"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")

@@ -552,3 +552,105 @@ def test_interval_processor_golden(spark, case, pt_gauge):
     assert _canon_points(want_out) == _canon_points(
         [dict(p, raw=None) for p in got_out]
     )
+
+
+# ------------------------------------------ otlpjson metrics/traces goldens
+
+def test_otlpjson_metrics_golden(spark):
+    """otlpjsonconnector logsToMetrics pair (metrics.go:43-79): a log body
+    carrying an OTLP/JSON Metrics payload re-emits its number datapoints;
+    invalid payloads produce nothing (metrics_test.go)."""
+    from opentelemetry_collector_contrib_spark.operators.connectors import (
+        otlpjson_metrics_connector,
+    )
+
+    base = f"{REF}/connector/otlpjsonconnector/testdata/logsToMetrics"
+    df = records_to_df(spark, read_logs(f"{base}/input-metric.yaml"))
+    out = otlpjson_metrics_connector(df)
+    got = sorted(
+        (
+            tuple(sorted(dict(r.resource).items())), r.metric_name, r.unit,
+            r.mtype, tuple(sorted(dict(r.attributes).items())),
+            r.start_time_unix_nano, r.time_unix_nano, r.value,
+        )
+        for r in out.collect()
+    )
+
+    import yaml as _yaml
+
+    doc = _yaml.safe_load(open(f"{base}/output-metric.yaml"))
+    want = []
+    for rm in doc["resourceMetrics"]:
+        res = tuple(sorted(
+            (a["key"], _s(_val(a["value"])))
+            for a in (rm.get("resource") or {}).get("attributes") or []
+        ))
+        for sm in rm["scopeMetrics"]:
+            for m in sm["metrics"]:
+                for kind in ("gauge", "sum"):
+                    for dp in (m.get(kind) or {}).get("dataPoints", []):
+                        attrs = tuple(sorted(
+                            (a["key"], _s(_val(a["value"])))
+                            for a in dp.get("attributes") or []
+                        ))
+                        val = (
+                            float(dp["asDouble"]) if "asDouble" in dp
+                            else float(int(dp["asInt"]))
+                        )
+                        want.append(
+                            (res, m["name"], m.get("unit"), kind, attrs,
+                             int(dp.get("startTimeUnixNano", 0)),
+                             int(dp.get("timeUnixNano", 0)), val)
+                        )
+    assert got == sorted(want) and len(got) > 0
+
+    bad = records_to_df(spark, read_logs(f"{base}/input-invalid-metric.yaml"))
+    assert otlpjson_metrics_connector(bad).count() == 0
+
+
+def test_otlpjson_traces_golden(spark):
+    """otlpjsonconnector logsToTraces pair (traces.go:43-79): span fields of
+    the embedded payload re-emit as flat rows (events/traceState are outside
+    this connector's flat span model); invalid payloads produce nothing."""
+    from opentelemetry_collector_contrib_spark.operators.connectors import (
+        otlpjson_traces_connector,
+    )
+
+    base = f"{REF}/connector/otlpjsonconnector/testdata/logsToTraces"
+    df = records_to_df(spark, read_logs(f"{base}/input-trace.yaml"))
+    out = otlpjson_traces_connector(df)
+    got = sorted(
+        (
+            tuple(sorted(dict(r.resource).items())), r.trace_id, r.span_id,
+            r.parent_span_id, r.span_name, r.start_time_unix_nano,
+            r.end_time_unix_nano, r.status_code, r.status_message,
+        )
+        for r in out.collect()
+    )
+
+    import yaml as _yaml
+
+    doc = _yaml.safe_load(open(f"{base}/output-trace.yaml"))
+    want = []
+    for rs in doc["resourceSpans"]:
+        res = tuple(sorted(
+            (a["key"], _s(_val(a["value"])))
+            for a in (rs.get("resource") or {}).get("attributes") or []
+        ))
+        for ss in rs["scopeSpans"]:
+            for sp in ss["spans"]:
+                st = sp.get("status") or {}
+                want.append(
+                    (res, sp["traceId"], sp["spanId"], sp.get("parentSpanId"),
+                     sp["name"], int(sp["startTimeUnixNano"]),
+                     int(sp["endTimeUnixNano"]), st.get("code"),
+                     st.get("message"))
+                )
+    assert got == sorted(want) and len(got) > 0
+
+    bad = records_to_df(
+        spark,
+        [{"resource": {}, "attributes": {}, "body": '{"resourceSpans": [oops',
+          "severity_text": None, "time_unix_nano": None}],
+    )
+    assert otlpjson_traces_connector(bad).count() == 0
