@@ -64,6 +64,13 @@ def get_spark(
             "spark.python.worker.reuse",
             os.environ.get("SPARK_GRAFT_WORKER_REUSE", "false"),
         )
+        # fresh-fork workers inherit preloaded pandas/numpy/pyarrow from
+        # the daemon (COW) instead of importing per task — reclaims most
+        # of the reuse=false overhead (daemon_preload.py)
+        .config(
+            "spark.python.daemon.module",
+            "opentelemetry_collector_contrib_spark.daemon_preload",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
