@@ -270,16 +270,22 @@ def _otlp_attr_map(attrs: Column) -> Column:
         dedup_entries_last_win(
             F.transform(
                 F.coalesce(attrs, F.array()),
-                lambda a: F.struct(
-                    a["key"].alias("key"),
+                # named_struct, not struct+alias: aliases are dropped
+                # inside HOF lambdas (the field would come out `col2`,
+                # breaking the dedup fold's typed concat)
+                lambda a: F.named_struct(
+                    F.lit("key"),
+                    a["key"],
+                    F.lit("value"),
                     F.coalesce(
                         a["value"]["stringValue"],
                         a["value"]["intValue"],
                         a["value"]["doubleValue"].cast("string"),
                         a["value"]["boolValue"].cast("string"),
-                    ).alias("value"),
+                    ),
                 ),
-            )
+            ),
+            "string",
         )
     )
 

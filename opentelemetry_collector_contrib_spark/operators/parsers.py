@@ -46,7 +46,7 @@ def java_regex(pattern: str) -> str:
     return re.sub(r"\(\?P<[^>]+>", "(", pattern)
 
 
-def dedup_entries_last_win(entries: Column) -> Column:
+def dedup_entries_last_win(entries: Column, value_type: str | None = None) -> Column:
     """Drop all but the LAST entry per key from an array<struct<key,value>>.
 
     pcommon.Map upserts tolerate repeated keys (last write wins), and RFC
@@ -54,14 +54,31 @@ def dedup_entries_last_win(entries: Column) -> Column:
     ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` makes ``map_from_entries``
     abort the whole job on the first duplicate. Every map_from_entries over
     externally-controlled keys goes through this guard so hostile or
-    legal-but-odd records degrade instead of failing the stage. O(n²) per
-    array, n = entry count per record (tiny); pure Column HOFs.
+    legal-but-odd records degrade instead of failing the stage.
+
+    Shape matters: a fold over the array that only ever re-touches the
+    ACCUMULATOR (drop any earlier entry with this key, append the new
+    one). The obvious filter+exists formulation references ``entries``
+    inside its lambda, and interpreted HOFs do no CSE — when ``entries``
+    is itself an expensive parse expression (the syslog structured-data
+    chain) that re-evaluated the whole parse per element per probe:
+    measured 4× wall on the sf0.1 syslog row. Pass ``value_type`` (the
+    struct's value field type, e.g. ``"string"`` or
+    ``"map<string,string>"``) so the fold seed is a cast empty-array
+    LITERAL; the ``slice(entries, 1, 0)`` fallback types the seed from the
+    input but costs one extra evaluation of ``entries`` per record (which
+    compounds per nesting level when calls nest). The O(n²) key
+    comparisons run over the tiny accumulator only.
     """
-    n = F.size(entries)
-    return F.filter(
+    if value_type is not None:
+        seed = F.array().cast(f"array<struct<key:string,value:{value_type}>>")
+    else:
+        seed = F.slice(entries, 1, 0)
+    return F.aggregate(
         entries,
-        lambda e, i: ~F.exists(
-            F.slice(entries, i + 2, n), lambda e2: e2["key"] == e["key"]
+        seed,
+        lambda acc, e: F.concat(
+            F.filter(acc, lambda a: a["key"] != e["key"]), F.array(e)
         ),
     )
 
@@ -537,12 +554,14 @@ def parse_structured_data(col: Column) -> Column:
         # (pcommon.Map upsert semantics) instead of DUPLICATED_MAP_KEY.
         return F.struct(
             sd_id.alias("key"),
-            F.map_from_entries(dedup_entries_last_win(kv)).alias("value"),
+            F.map_from_entries(dedup_entries_last_win(kv, "string")).alias("value"),
         )
 
     return F.when(
         col.isNotNull() & (col != "-") & (col != ""),
-        F.map_from_entries(dedup_entries_last_win(F.transform(elems, _entry))),
+        F.map_from_entries(
+            dedup_entries_last_win(F.transform(elems, _entry), "map<string,string>")
+        ),
     )
 
 

@@ -28,6 +28,18 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
+
+    # The worker daemon is a fresh `python -m <spark.python.daemon.module>`
+    # process: it sees PYTHONPATH, not the driver's sys.path mutations — a
+    # driver launched from outside the repo (driver harness, notebooks)
+    # would otherwise fail to import daemon_preload and kill every Python
+    # stage. Exported here AND as executorEnv for real clusters.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     if shuffle_partitions is None:
         n = os.cpu_count() or 8
         shuffle_partitions = int(cpus) if cpus.isdigit() else n
@@ -71,6 +83,7 @@ def get_spark(
             "spark.python.daemon.module",
             "opentelemetry_collector_contrib_spark.daemon_preload",
         )
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
