@@ -9,9 +9,15 @@ daemon process, before any fork — lets every forked worker inherit the
 loaded modules via copy-on-write for free, reclaiming most of the
 reuse=false overhead.
 
-Wired via ``spark.python.daemon.module`` in ``session.get_spark``; on a
-real cluster the package ships with ``--py-files`` so the module resolves
-on executors exactly like the UDFs themselves.
+OPT-IN ONLY (``SPARK_GRAFT_DAEMON_PRELOAD=1`` → ``session.get_spark``
+wires ``spark.python.daemon.module``): these imports start background
+threads in the daemon (allocator purge threads, BLAS pools), and a
+``fork()`` that lands while one of them holds an internal lock wedges the
+child worker before it ever speaks — measured as 4/5 hung fresh-JVM
+pipeline runs at local[2]/local[8] on 8M rows, 0/5 with the stock daemon
+(see ``docs/SCALE.md``). Kept for single-threaded-import experiments; the
+default stays the stock ``pyspark.daemon``, which deliberately imports
+nothing heavy before fork.
 """
 
 import numpy  # noqa: F401

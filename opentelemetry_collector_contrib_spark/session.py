@@ -76,18 +76,26 @@ def get_spark(
             "spark.python.worker.reuse",
             os.environ.get("SPARK_GRAFT_WORKER_REUSE", "false"),
         )
-        # fresh-fork workers inherit preloaded pandas/numpy/pyarrow from
-        # the daemon (COW) instead of importing per task — reclaims most
-        # of the reuse=false overhead (daemon_preload.py)
-        .config(
-            "spark.python.daemon.module",
-            "opentelemetry_collector_contrib_spark.daemon_preload",
-        )
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
     )
+    # OPT-IN ONLY (SPARK_GRAFT_DAEMON_PRELOAD=1): preloading pandas/numpy/
+    # pyarrow in the worker daemon (daemon_preload.py) reclaims the fresh-
+    # fork import cost of reuse=false, but those imports start background
+    # threads (allocator purge, BLAS pools) in the daemon — and a fork()
+    # that lands while one of them holds an internal lock wedges the child
+    # worker before it serves its task. Measured: with preload on, the 8M-row
+    # pipeline hung in 4/5 fresh-JVM runs at local[2]/local[8] (task parked
+    # in ReaderInputStream select with a worker that never spoke); with the
+    # stock single-threaded pyspark.daemon, 0 hangs. Vanilla Spark daemons
+    # deliberately import nothing heavy before fork for exactly this reason.
+    if os.environ.get("SPARK_GRAFT_DAEMON_PRELOAD") == "1":
+        b = b.config(
+            "spark.python.daemon.module",
+            "opentelemetry_collector_contrib_spark.daemon_preload",
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

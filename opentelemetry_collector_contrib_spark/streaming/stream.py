@@ -402,6 +402,8 @@ def stateful_service_graph_stream(
     duration_col: str = "duration",
     failed_col: str | None = None,
     store_ttl_ms: int = 30000,
+    emit_expired_virtual: bool = False,
+    peer_cols: tuple[str, ...] = ("peer_service",),
 ) -> DataFrame:
     """servicegraph pair-matching as a CUSTOM STATEFUL streaming transform.
 
@@ -417,6 +419,21 @@ def stateful_service_graph_stream(
     unmatched state after ``store_ttl_ms`` (the TTL). FIFO one-to-one
     matching, like the store's single entry per key.
 
+    With ``emit_expired_virtual=True`` the TTL eviction reproduces the
+    reference's virtual-node edges (``connector/servicegraphconnector/
+    connector.go:356-388`` onExpire): an expired CLIENT half becomes an
+    edge to its peer host — the first non-null of ``peer_cols`` on the
+    span, default ``"unknown"`` (``connector.go:723-732`` getPeerHost,
+    ``:50-52`` defaultPeerAttributes) — and an expired SERVER half whose
+    join span (parentSpanID) is empty becomes an edge from the virtual
+    client ``"user"`` (``connector.go:371-380`` SpanIDIsEmpty). Non-root
+    orphan servers expire silently, as the reference only counts them.
+    Rows then carry ``connection_type`` (``""`` matched /
+    ``"virtual_node"`` expired) and ``virtual_node`` — WHICH side is the
+    virtual one: ``"server"`` for an expired client's edge, ``"client"``
+    for an expired root server's edge (the reference's virtual_node label,
+    ``connector.go:356-388``; golden: testdata/virtual-node-label-*).
+
     Returns the streaming DataFrame of EDGE rows (client_service,
     server_service, client_duration, server_duration, failed) — feed them
     to the same aggregation the batch operator uses. Scale shape: state is
@@ -431,6 +448,12 @@ def stateful_service_graph_stream(
         ArrayType, BooleanType, DoubleType, StringType, StructField, StructType,
     )
 
+    present_peers = [c for c in peer_cols if c in spans.columns]
+    peer_expr = (
+        F.coalesce(*[F.col(c) for c in present_peers])
+        if present_peers
+        else F.lit(None).cast("string")
+    )
     clients = spans.filter(
         F.upper(F.col(kind_col)).isin("CLIENT", "SPAN_KIND_CLIENT")
     ).select(
@@ -440,6 +463,7 @@ def stateful_service_graph_stream(
         F.col(service_col).alias("_svc"),
         F.col(duration_col).cast("double").alias("_dur"),
         (F.col(failed_col) if failed_col else F.lit(False)).alias("_failed"),
+        peer_expr.alias("_peer"),
     )
     servers = spans.filter(
         F.upper(F.col(kind_col)).isin("SERVER", "SPAN_KIND_SERVER")
@@ -450,18 +474,21 @@ def stateful_service_graph_stream(
         F.col(service_col).alias("_svc"),
         F.col(duration_col).cast("double").alias("_dur"),
         (F.col(failed_col) if failed_col else F.lit(False)).alias("_failed"),
+        F.lit(None).cast("string").alias("_peer"),
     )
     both = clients.unionByName(servers)
 
-    out_schema = StructType(
-        [
-            StructField("client_service", StringType()),
-            StructField("server_service", StringType()),
-            StructField("client_duration", DoubleType()),
-            StructField("server_duration", DoubleType()),
-            StructField("failed", BooleanType()),
-        ]
-    )
+    out_fields = [
+        StructField("client_service", StringType()),
+        StructField("server_service", StringType()),
+        StructField("client_duration", DoubleType()),
+        StructField("server_duration", DoubleType()),
+        StructField("failed", BooleanType()),
+    ]
+    if emit_expired_virtual:
+        out_fields.append(StructField("connection_type", StringType()))
+        out_fields.append(StructField("virtual_node", StringType()))
+    out_schema = StructType(out_fields)
     # unmatched halves ride as JSON strings: tiny (one pending span per key
     # in the normal case), schema-stable
     state_schema = StructType(
@@ -473,7 +500,39 @@ def stateful_service_graph_stream(
 
     def match(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:  # store TTL: evict unmatched halves
+            virtual = []
+            if emit_expired_virtual and state.exists:
+                pc, ps = state.get
+                for rec in pc:  # onExpire: client → peer-host virtual node
+                    c = json.loads(rec)
+                    virtual.append(
+                        {
+                            "client_service": c["svc"],
+                            "server_service": c.get("p") or "unknown",
+                            "client_duration": c["dur"],
+                            "server_duration": None,
+                            "failed": c["f"],
+                            "connection_type": "virtual_node",
+                            "virtual_node": "server",
+                        }
+                    )
+                if not key[1]:  # root server (empty parent) → "user" client
+                    for rec in ps:
+                        s = json.loads(rec)
+                        virtual.append(
+                            {
+                                "client_service": "user",
+                                "server_service": s["svc"],
+                                "client_duration": None,
+                                "server_duration": s["dur"],
+                                "failed": s["f"],
+                                "connection_type": "virtual_node",
+                                "virtual_node": "client",
+                            }
+                        )
             state.remove()
+            if virtual:
+                yield pd.DataFrame(virtual)
             return
         pend_c, pend_s = ([], [])
         if state.exists:
@@ -481,23 +540,28 @@ def stateful_service_graph_stream(
             pend_c, pend_s = list(pc), list(ps)
         for pdf in pdf_iter:
             for _, r in pdf.iterrows():
-                rec = json.dumps(
-                    {"svc": r["_svc"], "dur": float(r["_dur"]), "f": bool(r["_failed"])}
-                )
-                (pend_c if r["_role"] == "c" else pend_s).append(rec)
+                rec = {"svc": r["_svc"], "dur": float(r["_dur"]), "f": bool(r["_failed"])}
+                if r["_role"] == "c":
+                    if emit_expired_virtual and isinstance(r["_peer"], str):
+                        rec["p"] = r["_peer"]
+                    pend_c.append(json.dumps(rec))
+                else:
+                    pend_s.append(json.dumps(rec))
         edges = []
         while pend_c and pend_s:
             c = json.loads(pend_c.pop(0))
             s = json.loads(pend_s.pop(0))
-            edges.append(
-                {
-                    "client_service": c["svc"],
-                    "server_service": s["svc"],
-                    "client_duration": c["dur"],
-                    "server_duration": s["dur"],
-                    "failed": c["f"] or s["f"],
-                }
-            )
+            edge = {
+                "client_service": c["svc"],
+                "server_service": s["svc"],
+                "client_duration": c["dur"],
+                "server_duration": s["dur"],
+                "failed": c["f"] or s["f"],
+            }
+            if emit_expired_virtual:
+                edge["connection_type"] = ""
+                edge["virtual_node"] = ""
+            edges.append(edge)
         if pend_c or pend_s:
             state.update((pend_c, pend_s))
             state.setTimeoutDuration(store_ttl_ms)
@@ -517,14 +581,24 @@ def streaming_service_graph(
     out_dir: str,
     buckets: list[float] | None = None,
     store_ttl_ms: int = 30000,
+    emit_expired_virtual: bool = False,
     **span_cols,
 ):
     """File-to-file servicegraph: stateful pair matching
     (:func:`stateful_service_graph_stream`) then the SAME edge aggregation
     the batch operator computes, per micro-batch (append with batch_id —
     additive aggregates, so readers SUM across batch rows per edge; pinned
-    equal to batch ``service_graph`` in tests/test_streaming2.py)."""
-    edges = stateful_service_graph_stream(input_df, store_ttl_ms=store_ttl_ms, **span_cols)
+    equal to batch ``service_graph`` in tests/test_streaming2.py). With
+    ``emit_expired_virtual`` the sink gains a ``connection_type`` grouping
+    dimension, so virtual-node edges (expired halves; the reference's
+    onExpire metrics) aggregate separately from matched edges — their
+    one-sided durations sum as NULL-skipping partial sums."""
+    edges = stateful_service_graph_stream(
+        input_df,
+        store_ttl_ms=store_ttl_ms,
+        emit_expired_virtual=emit_expired_virtual,
+        **span_cols,
+    )
     bounds = buckets or [2, 4, 6, 8, 10, 50, 100, 200, 400, 800]
     sdur = F.col("server_duration")
     aggs = [
@@ -540,9 +614,13 @@ def streaming_service_graph(
         lo = b
     aggs.append(F.sum((sdur > lo).cast("long")).alias("server_le_inf"))
 
+    group_cols = ["client_service", "server_service"]
+    if emit_expired_virtual:
+        group_cols.append("connection_type")
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.groupBy("client_service", "server_service")
+            batch_df.groupBy(*group_cols)
             .agg(*aggs)
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")

@@ -654,3 +654,105 @@ def test_otlpjson_traces_golden(spark):
           "severity_text": None, "time_unix_nano": None}],
     )
     assert otlpjson_traces_connector(bad).count() == 0
+
+
+# ----------------------------------------- servicegraph virtual-node goldens
+
+_SG = f"{REF}/connector/servicegraphconnector/testdata"
+_KIND = {2: "SERVER", 3: "CLIENT"}
+
+
+def _sg_spans(path: str) -> list[tuple]:
+    """golden trace yaml → rows for stateful_service_graph_stream: the
+    resource's service.name is the service column, span attr peer.service
+    (a defaultPeerAttributes entry, connector.go:50-52) rides as the
+    peer_service column."""
+    doc = yaml.safe_load(open(path))
+    rows = []
+    for rs in doc["resourceSpans"]:
+        res = {
+            a["key"]: _val(a["value"])
+            for a in (rs.get("resource") or {}).get("attributes") or []
+        }
+        for ss in rs["scopeSpans"]:
+            for sp in ss["spans"]:
+                attrs = {a["key"]: _val(a["value"]) for a in sp.get("attributes") or []}
+                dur = (int(sp["endTimeUnixNano"]) - int(sp["startTimeUnixNano"])) / 1e9
+                rows.append(
+                    (sp["traceId"], sp["spanId"], sp.get("parentSpanId") or "",
+                     _KIND[sp["kind"]], res["service.name"], dur, False,
+                     attrs.get("peer.service"))
+                )
+    return rows
+
+
+def _sg_expected_edges(path: str) -> set[tuple]:
+    """(client, server, connection_type, virtual_node, failed) of every
+    request_total datapoint in a servicegraph expected-metrics yaml."""
+    doc = yaml.safe_load(open(path))
+    out = set()
+    for rm in doc["resourceMetrics"]:
+        for sm in rm["scopeMetrics"]:
+            for m in sm["metrics"]:
+                if m.get("name") != "traces_service_graph_request_total":
+                    continue
+                for dp in m["sum"]["dataPoints"]:
+                    a = {x["key"]: _val(x["value"]) for x in dp["attributes"]}
+                    out.add(
+                        (a["client"], a["server"], a.get("connection_type", ""),
+                         a.get("virtual_node", ""), a["failed"])
+                    )
+    return out
+
+
+@pytest.mark.parametrize("case", ["client", "server"])
+def test_servicegraph_virtual_node_golden(spark, tmp_path, case):
+    """The reference's own virtual-node fixture pairs
+    (testdata/virtual-node-label-{client,server}-*.yaml, exercised by
+    connector_test.go TestConnectorConsume/virtual node) run through the
+    streaming store: the trace arrives in micro-batch 0, batch 1 fires the
+    1 ms TTL, and the expiry-emitted edges must carry the expected
+    client/server/connection_type/virtual_node labels."""
+    from opentelemetry_collector_contrib_spark.streaming.stream import (
+        stateful_service_graph_stream,
+    )
+
+    schema = (
+        "trace_id string, span_id string, parent_span_id string, "
+        "span_kind string, service string, duration double, failed boolean, "
+        "peer_service string"
+    )
+    rows = _sg_spans(f"{_SG}/virtual-node-label-{case}-trace.yaml")
+    inp = tmp_path / "in"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(inp / "f1"))
+    # batch 1: an INTERNAL span — filtered before the store, but the
+    # micro-batch still runs and fires the expired timers
+    dummy = [("zz", "z1", "", "INTERNAL", "noop", 0.0, False, None)]
+    spark.createDataFrame(dummy, schema).coalesce(1).write.parquet(str(inp / "f2"))
+
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp / "*"))
+    )
+    edges = stateful_service_graph_stream(
+        stream_in, failed_col="failed", store_ttl_ms=1, emit_expired_virtual=True
+    )
+    out = str(tmp_path / "out")
+    q = (
+        edges.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.client_service, r.server_service, r.connection_type,
+         r.virtual_node, r.failed)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = _sg_expected_edges(f"{_SG}/virtual-node-label-{case}-expected-metrics.yaml")
+    assert got == want and len(want) == 1

@@ -101,6 +101,118 @@ def test_streaming_service_graph_pairs_span_batches(spark, tmp_path):
     assert len(batches_with_edges) == 1  # only the batch where pairs completed
 
 
+def test_streaming_service_graph_expiry_virtual_nodes(spark, tmp_path):
+    """TTL expiry emits the reference's virtual-node edges (onExpire,
+    connector/servicegraphconnector/connector.go:356-388): an expired
+    client becomes an edge to its peer host (getPeerHost, :723-732,
+    default "unknown"); an expired ROOT server (empty parent span id)
+    becomes an edge from the virtual client "user"; non-root orphan
+    servers expire silently. File f1 carries all the expiry targets plus
+    the client half of one matched pair; f2 (next micro-batch, 1 ms TTL
+    long past) carries the matching server and triggers the timeouts."""
+    from opentelemetry_collector_contrib_spark.streaming.stream import (
+        stateful_service_graph_stream,
+    )
+
+    schema = SPAN_SCHEMA + ", peer_service string"
+    f1 = [
+        # matched pair's client — must NOT expire (data for its key in f2)
+        ("tr0", "c0", "root", "CLIENT", "front", 12.0, False, None),
+        # orphan client with a peer attribute → virtual edge to the peer
+        ("tr1", "c1", "root", "CLIENT", "front", 20.0, True, "db.example"),
+        # orphan client without peer → virtual edge to "unknown"
+        ("tr2", "c2", "root", "CLIENT", "web", 30.0, False, None),
+        # ROOT server (empty parent) → virtual edge from "user"
+        ("tr3", "s3", "", "SERVER", "gateway", 40.0, False, None),
+        # non-root orphan server → expires SILENTLY
+        ("tr4", "s4", "missing", "SERVER", "lost", 50.0, False, None),
+    ]
+    f2 = [("tr0", "s0", "c0", "SERVER", "back", 6.0, False, None)]
+    inp = tmp_path / "exp_in"
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(str(inp / "f1"))
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(str(inp / "f2"))
+
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp / "*"))
+    )
+    edges = stateful_service_graph_stream(
+        stream_in, failed_col="failed", store_ttl_ms=1, emit_expired_virtual=True
+    )
+    out = str(tmp_path / "exp_out")
+    q = (
+        edges.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "exp_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.client_service, r.server_service): r
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("front", "db.example")].connection_type == "virtual_node"
+    assert got[("front", "db.example")].failed is True
+    assert got[("front", "db.example")].server_duration is None
+    assert got[("front", "db.example")].virtual_node == "server"
+    assert got[("web", "unknown")].connection_type == "virtual_node"
+    assert got[("web", "unknown")].virtual_node == "server"
+    assert got[("user", "gateway")].connection_type == "virtual_node"
+    assert got[("user", "gateway")].client_duration is None
+    assert got[("user", "gateway")].virtual_node == "client"
+    assert got[("front", "back")].connection_type == ""  # matched, not expired
+    # the non-root orphan server leaves no edge at all
+    assert not any("lost" in k for k in got)
+    assert len(got) == 4
+
+
+def test_streaming_service_graph_aggregates_virtual_separately(spark, tmp_path):
+    """The file-to-file wrapper groups by connection_type when virtual-node
+    emission is on, so expired-edge aggregates never mix with matched-edge
+    aggregates for the same (client, server) pair."""
+    from opentelemetry_collector_contrib_spark.streaming.stream import (
+        streaming_service_graph,
+    )
+
+    schema = SPAN_SCHEMA + ", peer_service string"
+    f1 = [
+        ("tr0", "c0", "root", "CLIENT", "front", 12.0, False, None),
+        ("tr1", "c1", "root", "CLIENT", "front", 20.0, True, "db.example"),
+        ("tr2", "c2", "root", "CLIENT", "front", 30.0, False, "db.example"),
+    ]
+    f2 = [("tr0", "s0", "c0", "SERVER", "back", 6.0, False, None)]
+    inp = tmp_path / "aggv_in"
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(str(inp / "f1"))
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(str(inp / "f2"))
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp / "*"))
+    )
+    out = str(tmp_path / "aggv_out")
+    q = streaming_service_graph(
+        spark, stream_in, out, failed_col="failed", buckets=[20],
+        store_ttl_ms=1, emit_expired_virtual=True,
+    )
+    q.awaitTermination(180)
+
+    got_df = spark.read.parquet(out + "/service_graph")
+    got = {
+        (r.client_service, r.server_service, r.connection_type): r
+        for r in got_df.collect()
+    }
+    v = got[("front", "db.example", "virtual_node")]
+    assert v.req_total == 2 and v.req_failed_total == 1
+    assert v.client_duration_sum == 50.0 and v.server_duration_sum is None
+    m = got[("front", "back", "")]
+    assert m.req_total == 1 and m.server_duration_sum == 6.0
+    assert len(got) == 2
+
+
 def test_streaming_exceptions_matches_batch(spark, tmp_path):
     from opentelemetry_collector_contrib_spark.operators.connectors import (
         exceptions_connector,
