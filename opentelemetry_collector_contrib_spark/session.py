@@ -28,6 +28,15 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
+    # local[N] hard-codes task maxFailures=1, so ONE task failure kills the
+    # job — combined with the idle-timeout worker kill below that would turn
+    # a recoverable worker wedge into a job abort. local[N,4] restores the
+    # cluster default of 4 attempts (deterministic failures still surface,
+    # after 3 extra attempts of the failing task only — not 3 reruns of the
+    # job). SPARK_GRAFT_LOCAL_RETRIES=1 restores fail-fast for debugging.
+    retries = os.environ.get("SPARK_GRAFT_LOCAL_RETRIES", "4")
+    if master.startswith("local[") and "," not in master and retries != "1":
+        master = f"{master[:-1]},{retries}]"
 
     # The worker daemon is a fresh `python -m <spark.python.daemon.module>`
     # process: it sees PYTHONPATH, not the driver's sys.path mutations — a
@@ -76,6 +85,19 @@ def get_spark(
             "spark.python.worker.reuse",
             os.environ.get("SPARK_GRAFT_WORKER_REUSE", "false"),
         )
+        # Second hang class (rarer, seen even with the stock daemon): a
+        # freshly forked worker wedges before its first reply — main thread
+        # parked on the socket, the JVM task thread parked in
+        # ReaderInputStream's selector, both waiting on the other, forever.
+        # Spark 4.1's idle-timeout watchdog converts that into a killed
+        # worker + task failure after 60 s of NO data from the worker, and
+        # the local[N,4] master (above) lets the task retry on a fresh fork
+        # instead of aborting the job. 60 s is >10× our longest legit
+        # worker silence (fork + pandas import + first 32k-row Arrow batch
+        # ≈ 3-5 s, even under a 32-way cold-start fork storm), so false
+        # kills are not a risk, and each wedge costs ~1 min, not forever.
+        .config("spark.python.worker.idleTimeoutSeconds", "60")
+        .config("spark.python.worker.killOnIdleTimeout", "true")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")

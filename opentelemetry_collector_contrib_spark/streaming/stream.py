@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import connectors
@@ -599,20 +599,7 @@ def streaming_service_graph(
         emit_expired_virtual=emit_expired_virtual,
         **span_cols,
     )
-    bounds = buckets or [2, 4, 6, 8, 10, 50, 100, 200, 400, 800]
-    sdur = F.col("server_duration")
-    aggs = [
-        F.count(F.lit(1)).alias("req_total"),
-        F.sum(F.col("failed").cast("long")).alias("req_failed_total"),
-        F.sum("client_duration").alias("client_duration_sum"),
-        F.sum("server_duration").alias("server_duration_sum"),
-    ]
-    lo = None
-    for b in bounds:
-        cond = (sdur <= b) if lo is None else ((sdur > lo) & (sdur <= b))
-        aggs.append(F.sum(cond.cast("long")).alias(f"server_le_{str(b).replace('.', '_')}"))
-        lo = b
-    aggs.append(F.sum((sdur > lo).cast("long")).alias("server_le_inf"))
+    aggs = service_graph_edge_aggs(buckets)
 
     group_cols = ["client_service", "server_service"]
     if emit_expired_virtual:
@@ -634,6 +621,117 @@ def streaming_service_graph(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def service_graph_edge_aggs(buckets: list[float] | None = None) -> list[Column]:
+    """The servicegraph edge aggregate set (request totals, failure count,
+    one-sided duration sums, server-duration histogram buckets) shared by
+    the per-micro-batch sink writer and the post-query state drain."""
+    bounds = buckets or [2, 4, 6, 8, 10, 50, 100, 200, 400, 800]
+    sdur = F.col("server_duration")
+    aggs = [
+        F.count(F.lit(1)).alias("req_total"),
+        F.sum(F.col("failed").cast("long")).alias("req_failed_total"),
+        F.sum("client_duration").alias("client_duration_sum"),
+        F.sum("server_duration").alias("server_duration_sum"),
+    ]
+    lo = None
+    for b in bounds:
+        cond = (sdur <= b) if lo is None else ((sdur > lo) & (sdur <= b))
+        aggs.append(F.sum(cond.cast("long")).alias(f"server_le_{str(b).replace('.', '_')}"))
+        lo = b
+    aggs.append(F.sum((sdur > lo).cast("long")).alias("server_le_inf"))
+    return aggs
+
+
+def drain_service_graph_to_sink(
+    spark: SparkSession,
+    out_dir: str,
+    buckets: list[float] | None = None,
+    peer_default: str = "unknown",
+) -> int:
+    """After an ``availableNow`` :func:`streaming_service_graph` query
+    terminates, aggregate the still-unmatched state halves into virtual-node
+    edge rows and APPEND them to the same ``service_graph`` sink with
+    ``batch_id = -1`` (readers already SUM across batch rows per edge, so
+    the drained rows fold in additively). Use with queries started with
+    ``emit_expired_virtual=True`` — their sink carries the
+    ``connection_type`` grouping column these rows slot into. Returns the
+    number of edge rows appended."""
+    edges = drain_service_graph_state(
+        spark, os.path.join(out_dir, "_ck_servicegraph"), peer_default=peer_default
+    )
+    agg = (
+        edges.groupBy("client_service", "server_service", "connection_type")
+        .agg(*service_graph_edge_aggs(buckets))
+        .withColumn("batch_id", F.lit(-1))
+    )
+    agg.persist()
+    n = agg.count()
+    if n:
+        agg.write.mode("append").parquet(os.path.join(out_dir, "service_graph"))
+    agg.unpersist()
+    return n
+
+
+def drain_service_graph_state(
+    spark: SparkSession, checkpoint_dir: str, peer_default: str = "unknown"
+) -> DataFrame:
+    """BATCH drain of unmatched halves left in the servicegraph state store
+    after a finished (e.g. ``availableNow``) query.
+
+    Processing-time TTL timeouts only fire when a LATER micro-batch runs, so
+    halves still unmatched when the final batch commits never get their
+    onExpire virtual-node edges (``connector/servicegraphconnector/
+    connector.go:356-388``) from the stream itself. This closes that gap the
+    Spark-native way: read the committed state via the state-store data
+    source (``spark.read.format("statestore")``, Spark 4) and derive the
+    SAME edges the in-stream expiry path emits — expired client → peer host
+    (``p`` on the pending record, else ``peer_default``; getPeerHost,
+    ``connector.go:723-732``), expired ROOT server (empty parent span id in
+    the group key) → virtual client ``"user"``; non-root orphan servers
+    drain silently. Pure ``explode`` + ``from_json`` Column work over the
+    state rows — no Python per row, partition-parallel over the store's
+    shuffle partitions, so it scales with the state, not the stream.
+
+    Returns edge rows in :func:`stateful_service_graph_stream`'s
+    ``emit_expired_virtual`` schema; feed them to the same aggregation
+    (:func:`service_graph_edge_aggs`) and append to the sink.
+    """
+    st = spark.read.format("statestore").load(checkpoint_dir)
+    # state format v2 nests the user tuple under groupState next to the
+    # timeout timestamp; tolerate the flat (v1) layout too
+    vfields = [f.name for f in st.schema["value"].dataType.fields]
+    v = "value.groupState" if "groupState" in vfields else "value"
+    rec = "struct<svc:string,dur:double,f:boolean,p:string>"
+    clients = (
+        st.select(F.explode(f"{v}.clients").alias("_rec"))
+        .select(F.from_json("_rec", rec).alias("r"))
+        .select(
+            F.col("r.svc").alias("client_service"),
+            F.coalesce(F.col("r.p"), F.lit(peer_default)).alias("server_service"),
+            F.col("r.dur").alias("client_duration"),
+            F.lit(None).cast("double").alias("server_duration"),
+            F.col("r.f").alias("failed"),
+            F.lit("virtual_node").alias("connection_type"),
+            F.lit("server").alias("virtual_node"),
+        )
+    )
+    servers = (
+        st.filter(F.col("key._jspan") == "")
+        .select(F.explode(f"{v}.servers").alias("_rec"))
+        .select(F.from_json("_rec", rec).alias("r"))
+        .select(
+            F.lit("user").alias("client_service"),
+            F.col("r.svc").alias("server_service"),
+            F.lit(None).cast("double").alias("client_duration"),
+            F.col("r.dur").alias("server_duration"),
+            F.col("r.f").alias("failed"),
+            F.lit("virtual_node").alias("connection_type"),
+            F.lit("client").alias("virtual_node"),
+        )
+    )
+    return clients.unionByName(servers)
 
 
 def streaming_exceptions(

@@ -213,6 +213,67 @@ def test_streaming_service_graph_aggregates_virtual_separately(spark, tmp_path):
     assert len(got) == 2
 
 
+def test_drain_service_graph_state_after_available_now(spark, tmp_path):
+    """Halves still unmatched when an availableNow query's FINAL micro-batch
+    commits never fire their processing-time TTL (no later batch exists), so
+    the stream emits no virtual edges for them. drain_service_graph_state
+    reads the committed state store back (state-store data source) and
+    derives the same onExpire virtual-node edges in batch;
+    drain_service_graph_to_sink folds them into the sink as batch_id=-1."""
+    from opentelemetry_collector_contrib_spark.streaming.stream import (
+        drain_service_graph_state,
+        drain_service_graph_to_sink,
+        streaming_service_graph,
+    )
+
+    schema = SPAN_SCHEMA + ", peer_service string"
+    rows = [
+        # matched in the single micro-batch — must NOT appear in the drain
+        ("tr0", "c0", "root", "CLIENT", "front", 12.0, False, None),
+        ("tr0", "s0", "c0", "SERVER", "back", 6.0, False, None),
+        # unmatched client with a peer attribute → virtual edge to the peer
+        ("tr1", "c1", "root", "CLIENT", "front", 20.0, True, "db.example"),
+        # unmatched ROOT server (empty parent) → virtual edge from "user"
+        ("tr3", "s3", "", "SERVER", "gateway", 40.0, False, None),
+        # non-root orphan server → drains silently
+        ("tr4", "s4", "missing", "SERVER", "lost", 50.0, False, None),
+    ]
+    inp = tmp_path / "drain_in"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(inp / "f1"))
+    stream_in = spark.readStream.schema(schema).parquet(str(inp / "*"))
+    out = str(tmp_path / "drain_out")
+    # TTL far in the future: nothing expires in-stream, everything unmatched
+    # is still in the store when the query terminates
+    q = streaming_service_graph(
+        spark, stream_in, out, failed_col="failed", buckets=[20],
+        store_ttl_ms=600_000, emit_expired_virtual=True,
+    )
+    q.awaitTermination(180)
+
+    edges = drain_service_graph_state(spark, out + "/_ck_servicegraph").collect()
+    got = {(r.client_service, r.server_service): r for r in edges}
+    assert len(got) == 2  # the "lost" non-root orphan server is silent
+    assert got[("front", "db.example")].failed is True
+    assert got[("front", "db.example")].virtual_node == "server"
+    assert got[("front", "db.example")].client_duration == 20.0
+    assert got[("user", "gateway")].virtual_node == "client"
+    assert got[("user", "gateway")].server_duration == 40.0
+
+    n = drain_service_graph_to_sink(spark, out, buckets=[20])
+    assert n == 2
+    sink = spark.read.parquet(out + "/service_graph")
+    drained = {
+        (r.client_service, r.server_service): r
+        for r in sink.filter("batch_id = -1").collect()
+    }
+    assert set(drained) == {("front", "db.example"), ("user", "gateway")}
+    assert drained[("front", "db.example")].req_failed_total == 1
+    assert drained[("front", "db.example")].connection_type == "virtual_node"
+    # matched edge from the live query is untouched
+    m = sink.filter("batch_id >= 0 and client_service = 'front'").collect()
+    assert len(m) == 1 and m[0].server_service == "back"
+
+
 def test_streaming_exceptions_matches_batch(spark, tmp_path):
     from opentelemetry_collector_contrib_spark.operators.connectors import (
         exceptions_connector,
