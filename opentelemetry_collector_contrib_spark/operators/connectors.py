@@ -145,6 +145,72 @@ def sum_connector(
     return cur.groupBy(*dimensions).agg(F.sum(F.col(source_attribute)).alias(name))
 
 
+@dataclass
+class SumMetric:
+    """One sumconnector metric definition (``connector/sumconnector/
+    config.go`` map[name]MetricInfo: source_attribute, OR'd OTTL conditions,
+    dimension attrs with optional default_value)."""
+
+    name: str
+    source_attribute: str
+    conditions: list[Column] = field(default_factory=list)
+    dimensions: list[str] = field(default_factory=list)
+    defaults: dict[str, str] = field(default_factory=dict)
+
+
+def sum_connector_logs(
+    df: DataFrame,
+    metrics: list[SumMetric],
+    resource_cols: list[str] | None = None,
+    dim_multiplicity: bool = True,
+) -> dict[str, DataFrame]:
+    """Reference-shaped sum connector: per metric, every record passing the
+    dim-presence check and (OR'd) conditions increments its group — records
+    whose source attribute is missing or a non-numeric string contribute
+    **0.0**, they are NOT dropped (``sum.go:40-57``: ``sumVal`` stays zero
+    when ``attrs.Get`` misses or ``ParseFloat`` fails, and ``increment`` is
+    still called). Dims come from record attributes only, no resource
+    fallback (``connector.go:185``: ``logRecord.Attributes()``).
+
+    ``dim_multiplicity=True`` (default) reproduces a reference quirk its own
+    golden files pin: ``increment`` (sum.go:122-130) loops over the data
+    point's attribute KEYS and adds ``sumVal`` once per key, so a metric with
+    2 dimension attrs accumulates every record's value twice (verified:
+    multiple_attributes.yaml expects 4.2 where the input holds one 2.1).
+    Pass False for the arithmetically-sane sum.
+
+    Same distributed shape as :func:`count_connector` — one hash-agg per
+    metric, map-side partials, shuffle carries (group, partial_sum) only.
+    """
+    res = resource_cols or []
+    out: dict[str, DataFrame] = {}
+    for m in metrics:
+        cur = df
+        if m.conditions:
+            pred = m.conditions[0]
+            for c in m.conditions[1:]:
+                pred = pred | c
+            cur = cur.filter(pred)
+        dim_cols = []
+        for d in m.dimensions:
+            col = F.col(d)
+            if d in m.defaults:
+                col = F.coalesce(col, F.lit(m.defaults[d]))
+            else:
+                cur = cur.filter(F.col(d).isNotNull())
+            dim_cols.append(col.alias(d.replace(".", "_")))
+        # try_cast, not cast: ANSI mode makes cast THROW on a malformed
+        # string — a single hostile record would abort the job, where
+        # sum.go:51 just lets ParseFloat fail and contributes 0
+        val = F.coalesce(F.col(m.source_attribute).try_cast("double"), F.lit(0.0))
+        if dim_multiplicity and len(m.dimensions) > 1:
+            val = val * len(m.dimensions)
+        group = [F.col(c) for c in res] + dim_cols
+        agg = F.sum(val).alias("sum")
+        out[m.name] = cur.groupBy(*group).agg(agg) if group else cur.agg(agg)
+    return out
+
+
 def span_metrics(
     df: DataFrame,
     dimensions: list[str],

@@ -49,6 +49,16 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             pkg_root + (os.pathsep + existing if existing else "")
         )
+    # Single-threaded numeric libraries in every Python WORKER, exported
+    # before the JVM (and thus the worker daemon) starts so the daemon's
+    # preloaded imports spawn no threads (fork safety — daemon_preload.py)
+    # and so N parallel workers don't each spin an M-thread BLAS pool
+    # (oversubscription: parallelism belongs to Spark, not per-worker BLAS).
+    # setdefault — an explicit user/env choice wins.
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("MKL_NUM_THREADS", "1")
+    os.environ.setdefault("JE_ARROW_MALLOC_CONF", "background_thread:false")
     if shuffle_partitions is None:
         n = os.cpu_count() or 8
         shuffle_partitions = int(cpus) if cpus.isdigit() else n
@@ -103,17 +113,16 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
     )
-    # OPT-IN ONLY (SPARK_GRAFT_DAEMON_PRELOAD=1): preloading pandas/numpy/
-    # pyarrow in the worker daemon (daemon_preload.py) reclaims the fresh-
-    # fork import cost of reuse=false, but those imports start background
-    # threads (allocator purge, BLAS pools) in the daemon — and a fork()
-    # that lands while one of them holds an internal lock wedges the child
-    # worker before it serves its task. Measured: with preload on, the 8M-row
-    # pipeline hung in 4/5 fresh-JVM runs at local[2]/local[8] (task parked
-    # in ReaderInputStream select with a worker that never spoke); with the
-    # stock single-threaded pyspark.daemon, 0 hangs. Vanilla Spark daemons
-    # deliberately import nothing heavy before fork for exactly this reason.
-    if os.environ.get("SPARK_GRAFT_DAEMON_PRELOAD") == "1":
+    # Preloading pandas/numpy/pyarrow in the worker daemon
+    # (daemon_preload.py) reclaims the fresh-fork import cost of
+    # reuse=false. The first attempt wedged 4/5 runs — the imports started
+    # background threads in the daemon (32-thread OpenBLAS pool,
+    # jemalloc_bg_thd) and fork() under a held lock deadlocked the child —
+    # so preload now runs with the thread-cap envs above (verified: exactly
+    # 1 OS thread after the imports) and re-execs the stock daemon if
+    # anything still spawned a thread. Default ON; SPARK_GRAFT_DAEMON_PRELOAD=0
+    # restores the stock pyspark.daemon.
+    if os.environ.get("SPARK_GRAFT_DAEMON_PRELOAD", "1") == "1":
         b = b.config(
             "spark.python.daemon.module",
             "opentelemetry_collector_contrib_spark.daemon_preload",

@@ -756,3 +756,252 @@ def test_servicegraph_virtual_node_golden(spark, tmp_path, case):
     }
     want = _sg_expected_edges(f"{_SG}/virtual-node-label-{case}-expected-metrics.yaml")
     assert got == want and len(want) == 1
+
+
+# --------------------------------------------- countconnector logs golden set
+
+_CC = f"{REF}/connector/countconnector/testdata/logs"
+
+# (case, golden_file, {metric: (description, [conditions], [(dim, default)])})
+# — configs transcribed verbatim from connector_test.go TestLogsToMetrics
+# (connector_test.go:596-738); zero_conditions is defaultLogsConfig()
+# (config.go:31, defaultMetricNameLogs/Description).
+_CC_CASES = [
+    ("zero_conditions", None, {
+        "log.record.count": ("The number of log records observed.", [], []),
+    }),
+    ("one_condition", None, {
+        "count.if": ("Count if ...",
+                     ['resource.attributes["resource.optional"] != nil'], []),
+    }),
+    ("multiple_conditions", None, {
+        "count.if": ("Count if ...",
+                     ['resource.attributes["resource.optional"] != nil',
+                      'attributes["log.optional"] != nil'], []),
+    }),
+    ("multiple_metrics", None, {
+        "count.all": ("All logs count", [], []),
+        "count.if": ("Count if ...",
+                     ['resource.attributes["resource.optional"] != nil'], []),
+    }),
+    ("one_attribute", None, {
+        "log.count.by_attr": ("Log count by attribute", [],
+                              [("log.required", None)]),
+    }),
+    ("multiple_attributes", None, {
+        "log.count.by_attr": ("Log count by attributes", [],
+                              [("log.required", None), ("log.optional", None)]),
+    }),
+    ("default_attribute_value", None, {
+        "log.count.by_attr": ("Log count by attribute with default", [],
+                              [("log.required", None), ("log.optional", "other")]),
+    }),
+    ("condition_and_attribute", None, {
+        "log.count.if.by_attr": ("Log count by attribute if ...",
+                                 ['resource.attributes["resource.optional"] != nil'],
+                                 [("log.required", None)]),
+    }),
+    # same golden as multiple_conditions, conditions via the log.* context
+    # prefix (ottllog path-context form)
+    ("multiple_conditions_path_context", "multiple_conditions", {
+        "count.if": ("Count if ...",
+                     ['resource.attributes["resource.optional"] != nil',
+                      'log.attributes["log.optional"] != nil'], []),
+    }),
+]
+
+
+def _read_count_metrics(path: str):
+    """pkg/golden ReadMetrics → {(res_key, metric, dp_attrs_key): count} for
+    monotonic-sum metrics (the only shape countconnector emits)."""
+    import json as _json
+
+    with open(path) as fh:
+        doc = yaml.safe_load(fh)
+    out = {}
+    for rm in doc.get("resourceMetrics", []):
+        res = {
+            a["key"]: _s(_val(a["value"]))
+            for a in (rm.get("resource") or {}).get("attributes") or []
+        }
+        res_key = _json.dumps(dict(sorted(res.items())), separators=(",", ":"))
+        for sm in rm.get("scopeMetrics", []):
+            for m in sm.get("metrics", []):
+                for dp in m["sum"]["dataPoints"]:
+                    dp_attrs = tuple(sorted(
+                        (a["key"], _s(_val(a["value"])))
+                        for a in dp.get("attributes") or []
+                    ))
+                    out[(res_key, m["name"], dp_attrs)] = int(dp["asInt"])
+    return out
+
+
+@pytest.mark.parametrize("case,golden,cfg", _CC_CASES,
+                         ids=[c[0] for c in _CC_CASES])
+def test_count_connector_logs_golden(spark, case, golden, cfg):
+    """countconnector TestLogsToMetrics (connector_test.go:596-773): the
+    reference's own input.yaml through our count_connector with the Go
+    test's verbatim config; expected outputs compared pmetrictest-style
+    (timestamps ignored, orders ignored — the Go test's option set)."""
+    import json as _json
+
+    from opentelemetry_collector_contrib_spark.functions import ottl
+    from opentelemetry_collector_contrib_spark.operators.connectors import (
+        CountMetric,
+        count_connector,
+    )
+
+    df = records_to_df(spark, read_logs(f"{_CC}/input.yaml"))
+    # canonical per-resource grouping key: sorted-entry JSON of the resource
+    # map (groupable; matches the expected side's sorted-dict JSON)
+    df = df.withColumn(
+        "res_key",
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries("resource")))),
+    )
+    comp = ottl.Compiler(ottl.PathResolver(df))
+
+    got = {}
+    for mname, (_desc, conds, attr_cfgs) in cfg.items():
+        dims, defaults = [], {}
+        for key, default in attr_cfgs:
+            flat = key.replace(".", "_")
+            # GetDimensionValue lookup order: record attrs → scope attrs
+            # (none in this model) → resource attrs (utilattri)
+            df2 = df.withColumn(
+                flat, F.coalesce(F.col("attributes")[key], F.col("resource")[key])
+            )
+            df = df2
+            dims.append(flat)
+            if default is not None:
+                defaults[flat] = default
+        metric = CountMetric(
+            name=mname,
+            conditions=[comp.compile_condition(c) for c in conds],
+            dimensions=dims,
+            defaults=defaults,
+        )
+        out = count_connector(df, [metric], resource_cols=["res_key"])[mname]
+        for r in out.collect():
+            # dp attribute keys keep their dotted pdata names; values come
+            # back under the flat (underscored) aliases count_connector emits
+            dp_attrs = tuple(sorted(
+                (key, _s(r[key.replace(".", "_")])) for key, _d in attr_cfgs
+            ))
+            got[(r["res_key"], mname, dp_attrs)] = int(r["count"])
+
+    want = _read_count_metrics(f"{_CC}/{golden or case}.yaml")
+    assert got == want
+
+
+# ----------------------------------------------- sumconnector logs golden set
+
+_SC = f"{REF}/connector/sumconnector/testdata/logs"
+
+# configs transcribed verbatim from sumconnector connector_test.go
+# TestLogsToMetrics (connector_test.go:544-688); every metric sums the
+# "beep" log attribute.
+_SC_CASES = [
+    ("one_attribute", None, {
+        "log.sum.by_attr": ([], [("log.required", None)]),
+    }),
+    ("one_condition", None, {
+        "sum.if": (['resource.attributes["resource.optional"] != nil'], []),
+    }),
+    ("multiple_conditions", None, {
+        "sum.if": (['resource.attributes["resource.optional"] != nil',
+                    'attributes["log.optional"] != nil'], []),
+    }),
+    ("multiple_conditions_path_context", "multiple_conditions", {
+        "sum.if": (['resource.attributes["resource.optional"] != nil',
+                    'log.attributes["log.optional"] != nil'], []),
+    }),
+    ("multiple_metrics", None, {
+        "sum.all": ([], []),
+        "sum.if": (['resource.attributes["resource.optional"] != nil'], []),
+    }),
+    ("multiple_attributes", None, {
+        "log.sum.by_attr": ([], [("log.required", None), ("log.optional", None)]),
+    }),
+    ("default_attribute_value", None, {
+        "log.sum.by_attr": ([], [("log.required", None), ("log.optional", "other")]),
+    }),
+    ("condition_and_attribute", None, {
+        "log.sum.if.by_attr": (['resource.attributes["resource.optional"] != nil'],
+                               [("log.required", None)]),
+    }),
+]
+
+
+def _read_sum_metrics(path: str):
+    """ReadMetrics → {(res_key, metric, dp_attrs): sum rounded to 3dp}
+    (the Go test compares with IgnoreMetricFloatPrecision(3))."""
+    import json as _json
+
+    with open(path) as fh:
+        doc = yaml.safe_load(fh)
+    out = {}
+    for rm in doc.get("resourceMetrics", []):
+        res = {
+            a["key"]: _s(_val(a["value"]))
+            for a in (rm.get("resource") or {}).get("attributes") or []
+        }
+        res_key = _json.dumps(dict(sorted(res.items())), separators=(",", ":"))
+        for sm in rm.get("scopeMetrics", []):
+            for m in sm.get("metrics", []):
+                for dp in m["sum"]["dataPoints"]:
+                    dp_attrs = tuple(sorted(
+                        (a["key"], _s(_val(a["value"])))
+                        for a in dp.get("attributes") or []
+                    ))
+                    out[(res_key, m["name"], dp_attrs)] = round(
+                        float(dp.get("asDouble", dp.get("asInt"))), 3
+                    )
+    return out
+
+
+@pytest.mark.parametrize("case,golden,cfg", _SC_CASES,
+                         ids=[c[0] for c in _SC_CASES])
+def test_sum_connector_logs_golden(spark, case, golden, cfg):
+    """sumconnector TestLogsToMetrics: the reference's own input.yaml through
+    sum_connector_logs with verbatim configs. Exercises the zero-for-missing
+    source semantics (sum.go:40-57 — a record whose "beep" is absent or a
+    non-parseable string still increments its group by 0.0)."""
+    from opentelemetry_collector_contrib_spark.functions import ottl
+    from opentelemetry_collector_contrib_spark.operators.connectors import (
+        SumMetric,
+        sum_connector_logs,
+    )
+
+    df = records_to_df(spark, read_logs(f"{_SC}/input.yaml"))
+    df = df.withColumn(
+        "res_key",
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries("resource")))),
+    )
+    comp = ottl.Compiler(ottl.PathResolver(df))
+
+    got = {}
+    for mname, (conds, attr_cfgs) in cfg.items():
+        dims, defaults = [], {}
+        for key, default in attr_cfgs:
+            flat = key.replace(".", "_")
+            df = df.withColumn(flat, F.col("attributes")[key])
+            dims.append(flat)
+            if default is not None:
+                defaults[flat] = default
+        df = df.withColumn("_src", F.col("attributes")["beep"])
+        metric = SumMetric(
+            name=mname,
+            source_attribute="_src",
+            conditions=[comp.compile_condition(c) for c in conds],
+            dimensions=dims,
+            defaults=defaults,
+        )
+        out = sum_connector_logs(df, [metric], resource_cols=["res_key"])[mname]
+        for r in out.collect():
+            dp_attrs = tuple(sorted(
+                (key, _s(r[key.replace(".", "_")])) for key, _d in attr_cfgs
+            ))
+            got[(r["res_key"], mname, dp_attrs)] = round(float(r["sum"]), 3)
+
+    want = _read_sum_metrics(f"{_SC}/{golden or case}.yaml")
+    assert got == want
