@@ -5,15 +5,17 @@ with a typed metadata struct, processed by Arrow-batched ``mapInPandas``
 stages. The Spark-side plumbing here — schemas, batch iteration, partition
 sizing, UDF signatures — is real and tested. Codec status (r4):
 
-- **BMP (24-bit uncompressed), PNG (non-interlaced 8-bit baseline, r5) and
+- **BMP (24-bit uncompressed), PNG (non-interlaced 8-bit baseline, r5),
+  baseline JPEG (r5, `functions/jpegcodec.py` — ITU-T T.81 sequential DCT,
+  Annex K tables, numpy matrix DCT/IDCT, 4:2:0/4:2:2/4:4:4 decode) and
   WAV (PCM16) are REAL dependency-free codecs** (`decode_bmp`/`encode_bmp`,
   `decode_png`/`encode_png` — zlib inflate + all five scanline filters —
-  `decode_wav`/`encode_wav`; stdlib struct/zlib + numpy): the default
-  ``decode_fn`` sniffs magic bytes and decodes these end-to-end, and
-  `resize_images` really resamples BMP/PNG pixels (nearest neighbor) and
-  re-encodes.
-- Formats needing external libraries (jpeg/opus/h264) remain STUBBED
-  behind the deterministic fake — no image/audio libs exist in this
+  `decode_jpeg`/`encode_jpeg`, `decode_wav`/`encode_wav`; stdlib
+  struct/zlib + numpy): the default ``decode_fn`` sniffs magic bytes and
+  decodes these end-to-end, and `resize_images` really resamples
+  BMP/PNG/JPEG pixels (nearest neighbor) and re-encodes.
+- Formats needing external libraries (opus/h264, progressive JPEG) remain
+  STUBBED behind the deterministic fake — no media libs exist in this
   container. Swap ``decode_fn`` for a PIL/libav call in production;
   nothing else changes.
 """
@@ -243,12 +245,25 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def real_decode(payload: bytes, meta) -> list[float]:
-    """Default decode_fn: REAL decode for BMP/WAV (magic-byte sniff), the
-    deterministic fake for formats that need external codecs.
+    """Default decode_fn: REAL decode for BMP/PNG/JPEG/WAV (magic-byte
+    sniff), the deterministic fake for formats that need external codecs.
 
-    BMP/PNG features: [w, h, mean R/G/B, std, min, max] (pixel stats /255).
+    Image features: [w, h, mean R/G/B, std, min, max] (pixel stats /255).
     WAV features: [n_samples, rate, mean, std, min, max, zero-crossings, rms]
     (sample stats /32768)."""
+    if payload[:2] == b"\xff\xd8":
+        from ..functions.jpegcodec import decode_jpeg
+
+        try:
+            w, h, px = decode_jpeg(payload)
+        except ValueError:  # progressive/12-bit etc: stubbed fallback
+            return _fake_decode(payload, meta)
+        f = px.reshape(-1, 3).astype(np.float64) / 255.0
+        return [
+            float(w), float(h),
+            float(f[:, 0].mean()), float(f[:, 1].mean()), float(f[:, 2].mean()),
+            float(f.std()), float(f.min()), float(f.max()),
+        ]
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         w, h, px = decode_png(payload)
         f = px.reshape(-1, 3).astype(np.float64) / 255.0
@@ -318,7 +333,7 @@ def extract_features(
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize stage.
 
-    BMP and PNG payloads are REALLY resampled (nearest neighbor, numpy
+    BMP, PNG and baseline-JPEG payloads are REALLY resampled (nearest neighbor, numpy
     index mapping) and re-encoded in their own format; other formats pass
     bytes through and only rewrite meta (codec stub — see module
     docstring). Plumbing (schema preservation, per-batch iteration) is
@@ -333,6 +348,14 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         elif payload[:2] == b"BM":
             _w, _h, px = decode_bmp(payload)
             enc = encode_bmp
+        elif payload[:2] == b"\xff\xd8":
+            from ..functions.jpegcodec import decode_jpeg, encode_jpeg
+
+            try:
+                _w, _h, px = decode_jpeg(payload)
+            except ValueError:
+                return payload
+            enc = encode_jpeg
         else:
             return payload  # no codec for this format: stubbed passthrough
         ys = (np.arange(height) * _h // height).clip(0, _h - 1)
@@ -368,15 +391,19 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic media table for tests: image rows are REAL 24-bit BMPs
-    (16×12 random pixels), audio rows REAL PCM16 WAVs (8 kHz, 250 ms), video
-    rows opaque bytes (codec stubbed)."""
+    """Deterministic media table for tests: image rows alternate REAL
+    24-bit BMPs and REAL baseline JPEGs (16×12 random pixels), audio rows
+    REAL PCM16 WAVs (8 kHz, 250 ms), video rows opaque bytes (codec
+    stubbed)."""
+    from ..functions.jpegcodec import encode_jpeg
+
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         mt = ["image", "audio", "video"][i % 3]
         if mt == "image":
-            payload = encode_bmp(rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8))
+            px = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+            payload = encode_bmp(px) if (i // 3) % 2 == 0 else encode_jpeg(px)
         elif mt == "audio":
             payload = encode_wav(
                 rng.integers(-20000, 20000, size=2000, dtype=np.int16), rate=8000
@@ -392,7 +419,11 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
                     "width": 16 if mt == "image" else None,
                     "height": 12 if mt == "image" else None,
                     "duration_ms": 250 if mt == "audio" else (3000 if mt == "video" else None),
-                    "codec": {"image": "bmp", "audio": "wav", "video": "h264"}[mt],
+                    "codec": (
+                        ("bmp" if (i // 3) % 2 == 0 else "jpeg")
+                        if mt == "image"
+                        else {"audio": "wav", "video": "h264"}[mt]
+                    ),
                 },
             }
         )

@@ -342,9 +342,15 @@ def test_multimodal_real_codecs(spark):
             assert r.features[0] == 2000.0 and r.features[1] == 8000.0
 
     resized = mm.resize_images(media.filter("media_type = 'image'"), 4, 6).collect()
+    from opentelemetry_collector_contrib_spark.functions.jpegcodec import decode_jpeg
+
     for r in resized:
-        w2, h2, px2 = mm.decode_bmp(bytes(r.payload))
+        raw = bytes(r.payload)
+        dec = mm.decode_bmp if raw[:2] == b"BM" else decode_jpeg
+        w2, h2, px2 = dec(raw)
         assert (w2, h2) == (4, 6) and px2.shape == (6, 4, 3)
+        if raw[:2] != b"BM":
+            continue  # JPEG is lossy: exact pixel membership only holds for BMP
         # nearest-neighbor: every resized pixel exists in the source image
         w0, h0, px0 = mm.decode_bmp(bytes(imgs[r.doc_id].payload))
         src_set = {tuple(q) for q in px0.reshape(-1, 3)}
@@ -510,3 +516,54 @@ def test_png_through_spark_plumbing(spark):
     small = multimodal.resize_images(df, 4, 5).collect()[0]
     w, h, out = decode_png(bytes(small.payload))
     assert (w, h) == (4, 5) and (out[:, :, 0] == 255).all() and (out[:, :, 1] == 0).all()
+
+
+def test_jpeg_codec_roundtrip_and_features(spark):
+    """Baseline JPEG (functions/jpegcodec.py, ITU-T T.81): encode→decode
+    roundtrip within lossy tolerance, exact on flat blocks; decoder rejects
+    progressive streams; a planted JPEG flows through the real
+    feature-extract and resize stages (magic-byte sniff)."""
+    import numpy as np
+
+    from opentelemetry_collector_contrib_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from opentelemetry_collector_contrib_spark.operators import multimodal
+
+    # smooth content roundtrip: small mean error at q=90
+    yy, xx = np.mgrid[0:24, 0:33]
+    img = np.stack([(xx * 5) % 256, (yy * 7) % 256, ((xx + yy) * 3) % 256],
+                   axis=-1).astype(np.uint8)
+    w, h, out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert (w, h) == (33, 24)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 2.0
+
+    # flat 8x8-aligned content is exact (DC-only blocks quantize losslessly)
+    flat = np.full((16, 16, 3), 130, np.uint8)
+    _w, _h, fout = decode_jpeg(encode_jpeg(flat, quality=95))
+    assert (fout == 130).all()
+
+    # progressive (SOF2) is rejected, not mis-decoded
+    data = bytearray(encode_jpeg(flat))
+    sof = data.index(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(data))
+
+    # through the Spark plumbing: real dims + channel stats from the bytes
+    px = np.zeros((10, 8, 3), dtype=np.uint8)
+    px[:, :, 0] = 255
+    rows = [("j1", "image", bytearray(encode_jpeg(px, 95)),
+             {"width": 8, "height": 10, "duration_ms": None, "codec": "jpeg"})]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    f = list(multimodal.extract_features(df).collect()[0].features)
+    assert f[0] == 8.0 and f[1] == 10.0
+    assert f[2] > 0.9 and f[3] < 0.15 and f[4] < 0.15  # red-dominant
+
+    small = multimodal.resize_images(df, 4, 5).collect()[0]
+    w2, h2, out2 = decode_jpeg(bytes(small.payload))
+    assert (w2, h2) == (4, 5)
+    assert out2[:, :, 0].mean() > 200 and out2[:, :, 1].mean() < 60
