@@ -776,3 +776,171 @@ def streaming_exceptions(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_group_by_trace_stream(
+    spans: DataFrame,
+    trace_col: str = "trace_id",
+    decision_wait_ms: int = 30000,
+    root_wait_ms: int | None = None,
+    parent_col: str = "parent_span_id",
+) -> DataFrame:
+    """groupbytrace / tailsampling trace ASSEMBLY as a custom stateful
+    streaming transform: buffer every span of a trace until the trace's
+    decision deadline, then release the whole trace in one burst (all spans
+    in the same micro-batch downstream).
+
+    Mirrors the tailsamplingprocessor's batcher (``processor.go:196`` —
+    traces wait ``decision_wait`` from FIRST span arrival, late spans join
+    the buffered trace but do not extend the deadline) including root-span
+    acceleration (``processor.go:1000-1001``, ``decision_wait_after_root_
+    received``: seeing the root span moves the deadline earlier). The
+    deadline is stored IN the state (epoch ms), so each micro-batch re-arms
+    the processing-time timeout with the remaining time instead of
+    restarting the clock.
+
+    Output schema == input schema; rows ride the state as JSON strings
+    (numpy scalars unwrapped, timestamps ISO-ized and re-coerced on emit).
+    Scale shape: state is hash-partitioned by trace id; per-key state is
+    O(spans-per-trace), exactly the reference's per-trace buffer.
+    """
+    import json
+    import time as _time
+
+    import numpy as _np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StringType, StructField, StructType, TimestampType,
+    )
+
+    out_schema = spans.schema
+    ts_fields = [f.name for f in out_schema.fields if isinstance(f.dataType, TimestampType)]
+    cols = [f.name for f in out_schema.fields]
+    state_schema = StructType(
+        [
+            StructField("rows", ArrayType(StringType())),
+            StructField("deadline_ms", DoubleType()),
+        ]
+    )
+
+    def _jsonable(v):
+        if isinstance(v, _np.generic):
+            return v.item()
+        if isinstance(v, (pd.Timestamp,)):
+            return v.isoformat()
+        if isinstance(v, _np.ndarray):
+            return v.tolist()
+        return v
+
+    def _emit(rows: list[str]) -> pd.DataFrame:
+        pdf = pd.DataFrame([json.loads(r) for r in rows], columns=cols)
+        for c in ts_fields:
+            pdf[c] = pd.to_datetime(pdf[c])
+        return pdf
+
+    def assemble(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            rows, _dl = state.get
+            state.remove()
+            if rows:
+                yield _emit(list(rows))
+            return
+        now_ms = _time.time() * 1000.0
+        rows, deadline = ([], None)
+        if state.exists:
+            prev_rows, deadline = state.get
+            rows = list(prev_rows)
+        saw_root = False
+        for pdf in pdf_iter:
+            for _, r in pdf.iterrows():
+                rec = {c: _jsonable(r[c]) for c in cols}
+                if root_wait_ms is not None and not rec.get(parent_col):
+                    saw_root = True
+                rows.append(json.dumps(rec))
+        if deadline is None:
+            deadline = now_ms + decision_wait_ms
+        if saw_root:
+            deadline = min(deadline, now_ms + root_wait_ms)
+        state.update((rows, float(deadline)))
+        state.setTimeoutDuration(max(1, int(deadline - now_ms)))
+        return
+        yield  # generator form required by applyInPandasWithState
+
+    return spans.groupBy(trace_col).applyInPandasWithState(
+        assemble, out_schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def streaming_tail_sampling(
+    spark: SparkSession,
+    input_df: DataFrame,
+    out_dir: str,
+    policies: list[dict],
+    trace_col: str = "trace_id",
+    ts_col: str = "ts",
+    decision_wait_ms: int = 30000,
+    root_wait_ms: int | None = None,
+    parent_col: str = "parent_span_id",
+):
+    """tailsamplingprocessor in streaming form: buffer spans per trace for
+    ``decision_wait`` (:func:`stateful_group_by_trace_stream`), then run the
+    FULL batch policy engine (``operators.templates.tail_sampling`` — all 11
+    policy types, drop precedence, OR of top-level policies) over each
+    micro-batch of released traces. Correct by construction: a trace's spans
+    all emerge in the same micro-batch, so per-trace aggregates (latency,
+    span_count) see the complete trace — the reference's decision point.
+
+    Sampled spans append to ``out_dir/sampled`` with a ``batch_id`` column.
+    Traces still buffered when an ``availableNow`` run ends are recoverable
+    via :func:`drain_group_by_trace_state` + the batch operator.
+    """
+    from ..operators import templates
+
+    complete = stateful_group_by_trace_stream(
+        input_df,
+        trace_col=trace_col,
+        decision_wait_ms=decision_wait_ms,
+        root_wait_ms=root_wait_ms,
+        parent_col=parent_col,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = templates.tail_sampling(
+            batch_df, policies, trace_col=trace_col, ts_col=ts_col
+        )
+        kept.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            os.path.join(out_dir, "sampled")
+        )
+
+    return (
+        complete.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_ck_tailsampling"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def drain_group_by_trace_state(
+    spark: SparkSession, checkpoint_dir: str, schema
+) -> DataFrame:
+    """BATCH drain of traces still buffered when a
+    :func:`stateful_group_by_trace_stream` query terminated (availableNow
+    runs: no later batch exists to fire the remaining decision deadlines —
+    the same gap :func:`drain_service_graph_state` closes for servicegraph).
+    Reads the committed state store and rebuilds the buffered span rows;
+    feed the result to the batch ``tail_sampling`` for the final decision.
+
+    ``schema`` is the span DataFrame's schema (``df.schema``) — the state
+    rides as JSON strings of exactly those columns.
+    """
+    st = spark.read.format("statestore").load(checkpoint_dir)
+    vfields = [f.name for f in st.schema["value"].dataType.fields]
+    v = "value.groupState" if "groupState" in vfields else "value"
+    return (
+        st.select(F.explode(f"{v}.rows").alias("_rec"))
+        .select(F.from_json("_rec", schema).alias("r"))
+        .select("r.*")
+    )

@@ -333,3 +333,128 @@ def test_streaming_exceptions_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) > 4
+
+
+def test_streaming_tail_sampling_matches_batch(spark, tmp_path):
+    """Streaming tail sampling == batch tail sampling over the same spans:
+    traces buffer across micro-batches (spans of one trace split over two
+    input files), release on the decision-wait deadline, and each released
+    batch goes through the SAME policy engine; traces still buffered at the
+    availableNow end are recovered via drain_group_by_trace_state and the
+    batch operator."""
+    from opentelemetry_collector_contrib_spark.operators import templates
+    from opentelemetry_collector_contrib_spark.streaming.stream import (
+        drain_group_by_trace_state,
+        streaming_tail_sampling,
+    )
+
+    schema = (
+        "trace_id string, span_id string, parent_span_id string, "
+        "service string, ts double, env string, status string"
+    )
+    rows1, rows2 = [], []
+    for i in range(20):
+        t = f"tr{i}"
+        # first span in file 1; second (widening the latency span) in file 2
+        rows1.append((t, f"a{i}", "", f"svc{i % 3}", 100.0 + i, "prod" if i % 2 else "dev", "OK"))
+        rows2.append((t, f"b{i}", f"a{i}", f"svc{i % 3}",
+                      100.0 + i + (50.0 if i % 4 == 0 else 5.0),
+                      "prod" if i % 2 else "dev", "ERROR" if i % 5 == 0 else "OK"))
+        if i % 3 == 0:  # some traces get a third span (span_count policy)
+            rows2.append((t, f"c{i}", f"a{i}", f"svc{i % 3}", 101.0 + i,
+                          "prod" if i % 2 else "dev", "OK"))
+    inp = tmp_path / "ts_in"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(inp / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(inp / "f2"))
+
+    policies = [
+        {"type": "latency", "threshold_ms": 20_000},  # ts unit: seconds
+        {"type": "string_attribute", "key": "env", "values": ["dev"]},
+        {"type": "span_count", "min_spans": 3},
+    ]
+
+    all_spans = spark.read.parquet(str(inp / "*"))
+    want = {
+        tuple(r) for r in templates.tail_sampling(
+            all_spans, policies, trace_col="trace_id", ts_col="ts"
+        ).select("trace_id", "span_id").collect()
+    }
+    assert want  # policies select a real subset
+    n_all = all_spans.select("trace_id", "span_id").distinct().count()
+    assert len(want) < n_all
+
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp / "*"))
+    )
+    out = str(tmp_path / "ts_out")
+    q = streaming_tail_sampling(
+        spark, stream_in, out, policies,
+        trace_col="trace_id", ts_col="ts", decision_wait_ms=1,
+    )
+    q.awaitTermination(240)
+
+    import os as _os
+
+    got = set()
+    if _os.path.isdir(out + "/sampled"):
+        got = {
+            tuple(r) for r in spark.read.parquet(out + "/sampled")
+            .select("trace_id", "span_id").collect()
+        }
+    # traces whose deadline never fired (buffered at query end) → drain
+    remaining = drain_group_by_trace_state(
+        spark, out + "/_ck_tailsampling", all_spans.schema
+    )
+    drained = {
+        tuple(r) for r in templates.tail_sampling(
+            remaining, policies, trace_col="trace_id", ts_col="ts"
+        ).select("trace_id", "span_id").collect()
+    }
+    assert got | drained == want
+    assert not (got & drained)  # a trace decides exactly once
+
+
+def test_group_by_trace_root_acceleration(spark, tmp_path):
+    """decision_wait_after_root_received: a trace whose ROOT span arrived
+    gets the shorter deadline — it releases while a rootless trace with the
+    same arrival time stays buffered (processor.go:1000-1001)."""
+    import time as _time
+
+    from opentelemetry_collector_contrib_spark.streaming.stream import (
+        stateful_group_by_trace_stream,
+    )
+
+    schema = "trace_id string, span_id string, parent_span_id string, ts double"
+    inp = tmp_path / "root_in"
+    # trace A has its root (empty parent) → accelerated; trace B does not
+    spark.createDataFrame(
+        [("A", "a1", "", 1.0), ("B", "b2", "missing", 1.0)], schema
+    ).coalesce(1).write.parquet(str(inp / "f1"))
+    # second batch just advances processing time past the short deadline
+    spark.createDataFrame([("C", "c1", "", 9.0)], schema).coalesce(1).write.parquet(
+        str(inp / "f2")
+    )
+
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp / "*"))
+    )
+    released = stateful_group_by_trace_stream(
+        stream_in, decision_wait_ms=600_000, root_wait_ms=1
+    )
+    out = str(tmp_path / "root_out")
+    q = (
+        released.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "root_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.trace_id for r in spark.read.parquet(out).collect()}
+    assert "A" in got  # root-accelerated deadline fired
+    assert "B" not in got  # full decision_wait: still buffered
