@@ -72,10 +72,12 @@ def shingles(col: Column, k: int = 5) -> Column:
 
 def shingle_hash_frame(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5,
-    hash_fn: str = "xxhash64",
+    hash_fn: str = "xxhash64", keep_word_hashes: bool = False,
 ) -> DataFrame:
-    """(id, hs): distinct word k-shingle HASHES as array<long> — no shingle
-    strings ever materialize.
+    """(id, hs[, wh]): distinct word k-shingle HASHES as array<long> — no
+    shingle strings ever materialize. ``keep_word_hashes=True`` also carries
+    the per-word hash array (column ``wh``) so callers can derive SimHash /
+    other word-level features from the SAME scan instead of re-tokenizing.
 
     Each word is hashed once (xxhash64); adjacent word-hashes combine into a
     shingle hash with one k-ary xxhash64 per position — O(1) string work per
@@ -105,16 +107,18 @@ def shingle_hash_frame(
                 lambda i: ph.mix40_col(ph.polyfold40_col(F.slice(F.col("_wh"), i + 1, k))),
             )
         )
-        return d.select("id", hs.alias("hs"))
-    wh = F.transform(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.xxhash64(w)
-    )
-    d = df.select(F.col(id_col).alias("id"), wh.alias("_wh"))
-    n = F.size("_wh")
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    hs = F.array_distinct(
-        F.transform(idx, lambda i: F.xxhash64(*[F.get(F.col("_wh"), i + j) for j in range(k)]))
-    )
+    else:
+        wh = F.transform(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.xxhash64(w)
+        )
+        d = df.select(F.col(id_col).alias("id"), wh.alias("_wh"))
+        n = F.size("_wh")
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        hs = F.array_distinct(
+            F.transform(idx, lambda i: F.xxhash64(*[F.get(F.col("_wh"), i + j) for j in range(k)]))
+        )
+    if keep_word_hashes:
+        return d.select("id", hs.alias("hs"), F.col("_wh").alias("wh"))
     return d.select("id", hs.alias("hs"))
 
 
@@ -184,66 +188,85 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 1) 
     )
 
 
-def minhash_lsh_pairs(
+def portable_minhash_sig_udf(num_hashes: int = 64, seed: int = 1):
+    """Vectorized portable-minhash signature: array<long> shingle hashes →
+    array<long> signature, via ONE numpy broadcast per Arrow batch —
+    (a[:,None]·hs[None,:] + b[:,None]) & MASK, min over shingles.
+    int64 intermediates stay < 2^62 (a < 2^22, hs < 2^40) so this is
+    BIT-IDENTICAL to the Column/SQL formulation the DuckDB oracle pins —
+    just evaluated at numpy speed instead of interpreted-HOF speed."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ab = np.array(minhash_salts(num_hashes, seed), dtype=np.int64)
+    av, bv = ab[:, 0:1], ab[:, 1:2]
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and the resolver can't see the function-local pandas import
+    @pandas_udf("array<long>")
+    def sig_udf(col):
+        out = []
+        for hsv in col:
+            h = np.asarray(hsv, dtype=np.int64)[None, :]
+            out.append(((av * h + bv) & ph.MASK40).min(axis=1))
+        return pd.Series(out)
+
+    return sig_udf
+
+
+def minhash_signature_frame(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
-    bands: int = 16,
     k_shingle: int = 5,
-    jaccard_threshold: float = 0.7,
-    max_bucket_size: int = 200,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via MinHash + LSH banding.
+    """(id, sig): one MinHash signature row per document.
 
-    Scale path, in order:
-      1. signature per doc (Column-only, JVM),
-      2. explode into ``bands`` slim (id, band, band_hash) rows — signatures
-         are NOT carried into the join (the shuffle moves 24 bytes/row, not
-         the 8*num_hashes-byte signature),
-      3. drop pathological buckets (> ``max_bucket_size`` members): a bucket
-         of B docs yields B²/2 pairs; beyond the cap the members are near
-         identical and the surviving pairs re-surface via other bands or the
-         exact-dedup pass. Standard LSH skew guard — without it one hot
-         bucket is quadratic,
-      4. self-equi-join per bucket → distinct candidate pairs,
-      5. re-attach both signatures by id join and verify estimated Jaccard.
-    No cross join ever materializes. Returns (id_a, id_b, jaccard_est).
+    The signature TABLE is the natural materialization point of an LSH
+    dedup pipeline (compute once, band-join many): downstream
+    ``lsh_pairs_from_signatures`` references it three times (banding +
+    both verify sides) and persists it, so the text scan + hashing run
+    exactly once per job instead of once per reference.
     """
-    rows_per_band = num_hashes // bands
     # materialize shingles as a real column BEFORE the signature: the
     # signature references it num_hashes times, and Spark does no CSE across
     # those references — inline, the shingle build would run 32×/row.
     hs = shingle_hash_frame(df, text_col, id_col, k_shingle, hash_fn=hash_fn)
     if hash_fn == "portable":
-        # affine permutations in ONE numpy broadcast per Arrow batch:
-        # (a[:,None]·hs[None,:] + b[:,None]) & MASK, min over shingles.
-        # int64 intermediates stay < 2^62 (a < 2^22, hs < 2^40) so this is
-        # BIT-IDENTICAL to the Column/SQL formulation the oracle pins —
-        # just evaluated at numpy speed instead of interpreted-HOF speed.
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
+        return hs.select("id", portable_minhash_sig_udf(num_hashes)(F.col("hs")).alias("sig"))
+    return hs.select(
+        "id",
+        minhash_signature_from_hashes(F.col("hs"), num_hashes, hash_fn=hash_fn).alias("sig"),
+    )
 
-        ab = np.array(minhash_salts(num_hashes), dtype=np.int64)
-        av, bv = ab[:, 0:1], ab[:, 1:2]
 
-        # no type hints: `from __future__ import annotations` stringifies
-        # them and the resolver can't see the function-local pandas import
-        @pandas_udf("array<long>")
-        def sig_udf(col):
-            out = []
-            for hsv in col:
-                h = np.asarray(hsv, dtype=np.int64)[None, :]
-                out.append(((av * h + bv) & ph.MASK40).min(axis=1))
-            return pd.Series(out)
+def lsh_pairs_from_signatures(
+    base: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    max_bucket_size: int = 200,
+    hash_fn: str = "xxhash64",
+    persist: bool = True,
+) -> DataFrame:
+    """LSH banding + verify over a prebuilt (id, sig, *extra) signature frame.
 
-        base = hs.select("id", sig_udf(F.col("hs")).alias("sig"))
-    else:
-        base = hs.select(
-            "id",
-            minhash_signature_from_hashes(F.col("hs"), num_hashes, hash_fn=hash_fn).alias("sig"),
-        )
+    ``base`` is referenced three times (band explode, verify side A, verify
+    side B), so it is persisted (MEMORY_AND_DISK) unless already persisted or
+    ``persist=False`` — at 8·num_hashes + ~8 bytes/row the signature table is
+    far smaller than the corpus it summarizes, and recomputing the text scan
+    + hash pipeline 3× measured ~3× the whole job's wall at sf0.1. Extra
+    columns on ``base`` ride along in the cache so callers can join
+    per-doc features (e.g. simhash) from the same materialization;
+    lifecycle belongs to the caller (Spark evicts LRU).
+    """
+    rows_per_band = num_hashes // bands
+    if persist and not (base.storageLevel.useMemory or base.storageLevel.useDisk):
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     if hash_fn == "portable":
         def band_hash(b):
             return ph.mix40_col(
@@ -302,6 +325,79 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k_shingle: int = 5,
+    jaccard_threshold: float = 0.7,
+    max_bucket_size: int = 200,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    Scale path, in order:
+      1. signature per doc (``minhash_signature_frame`` — Column/Arrow only),
+         persisted: the table is referenced 3× downstream,
+      2. explode into ``bands`` slim (id, band, band_hash) rows — signatures
+         are NOT carried into the join (the shuffle moves 24 bytes/row, not
+         the 8*num_hashes-byte signature),
+      3. drop pathological buckets (> ``max_bucket_size`` members): a bucket
+         of B docs yields B²/2 pairs; beyond the cap the members are near
+         identical and the surviving pairs re-surface via other bands or the
+         exact-dedup pass. Standard LSH skew guard — without it one hot
+         bucket is quadratic,
+      4. self-equi-join per bucket → distinct candidate pairs,
+      5. re-attach both signatures by id join and verify estimated Jaccard.
+    No cross join ever materializes. Returns (id_a, id_b, jaccard_est).
+    """
+    base = minhash_signature_frame(df, text_col, id_col, num_hashes, k_shingle, hash_fn)
+    return lsh_pairs_from_signatures(
+        base, num_hashes, bands, jaccard_threshold, max_bucket_size, hash_fn
+    )
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 64, n: Column | None = None) -> Column:
+    """SimHash per-bit majority vote over a prebuilt word-hash array.
+
+    bit_i(sig) = 1 iff 2·count_i > n — identical decisions to the textbook
+    ±1 vote (vote = 2·count − n), but ONE aggregate pass instead of ``bits``
+    aggregates. Callers that already carry word hashes (e.g.
+    ``shingle_hash_frame(keep_word_hashes=True)``) vote over the same array
+    the minhash pipeline hashed — no re-tokenization. ``n`` overrides the
+    element count: pass it when ``hashes`` is an INLINE hash expression
+    (``F.size`` on it would re-run the hashing just to count — no CSE).
+    """
+
+    def _masks():
+        return [F.lit(1 << i) if i < 63 else F.lit(-(2**63)) for i in range(bits)]
+
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[(h.bitwiseAND(m) != 0).cast("int") for m in _masks()]),
+            lambda a, b: a + b,
+        ),
+    )
+    if n is None:
+        n = F.size(hashes)
+    # fold counts→bits→long with `counts` referenced exactly once (HOFs are
+    # interpreted, not codegen'd — don't rely on CSE across 64 references)
+    mask_arr = F.array(*[m.cast("long") for m in _masks()])
+    return F.aggregate(
+        F.zip_with(
+            counts, mask_arr,
+            lambda c, m: F.when(c * 2 > n, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a.bitwiseOR(b),
+    )
+
+
 def simhash(col: Column, bits: int = 64, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash of whitespace tokens, as a long.
 
@@ -319,34 +415,7 @@ def simhash(col: Column, bits: int = 64, hash_fn: str = "xxhash64") -> Column:
         hashes = F.transform(words, ph.w40_col)
     else:
         hashes = F.transform(words, lambda w: F.xxhash64(w))
-
-    def _masks():
-        return [F.lit(1 << i) if i < 63 else F.lit(-(2**63)) for i in range(bits)]
-
-    # ONE pass over the token hashes: accumulate a per-bit set-count array.
-    # bit_i(sig) = 1 iff 2*count_i > n — identical decisions to the ±1 vote
-    # (vote = 2*count - n), but 1 aggregate instead of `bits` aggregates.
-    counts = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[(h.bitwiseAND(m) != 0).cast("int") for m in _masks()]),
-            lambda a, b: a + b,
-        ),
-    )
-    n = F.size(words)
-    # fold counts→bits→long with `counts` referenced exactly once (HOFs are
-    # interpreted, not codegen'd — don't rely on CSE across 64 references)
-    mask_arr = F.array(*[m.cast("long") for m in _masks()])
-    return F.aggregate(
-        F.zip_with(
-            counts, mask_arr,
-            lambda c, m: F.when(c * 2 > n, m).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseOR(v),
-    )
+    return simhash_from_hashes(hashes, bits, n=F.size(words))
 
 
 def ngram_jaccard_pairs(

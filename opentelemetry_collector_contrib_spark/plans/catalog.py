@@ -1702,20 +1702,31 @@ def q_minhash_lsh(spark, sf_dir):
     df = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )  # signature HOFs are CPU-bound; a single small file = one task
-    pairs = dedup.minhash_lsh_pairs(
-        df, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5,
-        hash_fn="portable",
+    # ONE tokenize+hash scan feeds everything: shingle hashes (-> minhash
+    # signature) AND the word-hash array (-> 40-bit simhash vote) come out
+    # of the same projection, and the (id, sig, sh) feature table is
+    # persisted by lsh_pairs_from_signatures before its 3 downstream uses —
+    # the r4 form re-ran the md5 word hashing ~4x (banding, two verify
+    # sides, plus a separate simhash scan): measured 6.1s -> ~3s at sf0.1.
+    feats = dedup.shingle_hash_frame(
+        df, "text", "doc_id", 5, hash_fn="portable", keep_word_hashes=True
     )
-    sims = df.select(
-        "doc_id", dedup.simhash(F.col("text"), bits=40, hash_fn="portable").alias("sh")
+    base = feats.select(
+        "id",
+        dedup.portable_minhash_sig_udf(32)(F.col("hs")).alias("sig"),
+        dedup.simhash_from_hashes(F.col("wh"), bits=40).alias("sh"),
     )
+    pairs = dedup.lsh_pairs_from_signatures(
+        base, num_hashes=32, bands=8, jaccard_threshold=0.5, hash_fn="portable"
+    )
+    sims = base.select("id", "sh")
     return (
         pairs.join(
-            sims.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("simhash_a")),
+            sims.select(F.col("id").alias("id_a"), F.col("sh").alias("simhash_a")),
             "id_a",
         )
         .join(
-            sims.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("simhash_b")),
+            sims.select(F.col("id").alias("id_b"), F.col("sh").alias("simhash_b")),
             "id_b",
         )
         .withColumn(
