@@ -327,6 +327,12 @@ def all_pairs_above(
     base = df.select(F.col(id_col).alias("id"), vec.alias("v")).withColumn(
         "_sig", sig(F.col("v"))
     )
+    # base is referenced 3x (banding + both verify sides) and its signature
+    # column is an Arrow-UDF matmul — persist so the embedding scan + UDF
+    # run once, exactly as lsh_pairs_from_signatures does for minhash.
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     banded = base.select(
