@@ -222,3 +222,133 @@ def metrics_generation(
         "percent": F.when(b != 0, a / b * 100.0),
     }
     return df.withColumn(name, ops[operation])
+
+
+OVERFLOW_SENTINEL = "otel.cardinality_overflow"
+
+
+def cardinality_guardian(
+    df: DataFrame,
+    metric_col: str = "metric_name",
+    attrs_col: str = "attributes",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    epoch_seconds: int = 300,
+    max_delta: int = 500,
+    never_drop: list[str] | None = None,
+    metric_overrides: dict[str, int] | None = None,
+    mode: str = "strip_and_reaggregate",
+    metric_type: str = "delta_sum",
+    exact: bool = False,
+) -> DataFrame:
+    """Strip/tag exploding metric labels before they reach the TSDB.
+
+    Reference: ``processor/cardinalityguardianprocessor/processor.go:755-805``
+    — per (metric, label-key) tracker holding dual-epoch HLL++ sketches; a
+    label value is handled by the enforcement mode when the CURRENT epoch's
+    estimate exceeds the PREVIOUS epoch's by more than
+    ``max_cardinality_delta_per_epoch`` (delta-based: stable high-cardinality
+    labels are never penalized, config.go:26-37). ``never_drop_labels`` are
+    always protected; per-metric limits via ``metric_overrides``
+    (processor.go:808-815). Modes (processor.go:411-478):
+
+    * ``strip_and_reaggregate`` — remove the exploding key, then merge data
+      points that collide on the now-smaller identity (reaggregation.go:
+      delta sums add; gauges keep the latest-timestamp point).
+    * ``tag_only`` — keep the data, add ``otel.metric.overflow = "true"``.
+    * ``overflow_attribute`` — replace the exploding key's VALUE with the
+      ``otel.cardinality_overflow`` sentinel so all overflow points share
+      one bounded identity (processor.go:34-39).
+
+    Batch mapping: epoch = floor(unix(ts)/epoch_seconds); per
+    (metric, key, epoch) distinct-value counts come from ONE
+    explode→hash-agg — ``approx_count_distinct`` IS the reference's HLL++
+    (same sketch family, same ~2% error; ``exact=True`` swaps in exact
+    countDistinct for oracle-checkable tests). The exploding-key set is a
+    per-(metric, epoch) aggregate orders of magnitude smaller than the data
+    and is broadcast back. Divergence from the streaming reference: the
+    decision is per EPOCH, not per arrival (the whole epoch's cardinality is
+    known at once) — a batch replay therefore treats every point of an
+    exploding (metric, key, epoch) the same way, where the reference starts
+    enforcing mid-epoch at the point where the sketch first crosses the
+    limit.
+    """
+    never_drop = list(never_drop or [])
+    overrides = metric_overrides or {}
+    epoch = (F.unix_timestamp(F.col(ts_col).cast("timestamp")) / epoch_seconds).cast("long")
+    df = df.withColumn("_epoch", epoch)
+
+    kv = df.select(F.col(metric_col).alias("_m"), "_epoch", F.explode(attrs_col).alias("_k", "_v"))
+    if never_drop:
+        kv = kv.filter(~F.col("_k").isin(never_drop))
+    card_fn = F.count_distinct if exact else F.approx_count_distinct
+    per_epoch = kv.groupBy("_m", "_k", "_epoch").agg(card_fn(F.col("_v")).alias("_card"))
+    prev = per_epoch.select(
+        "_m", "_k", (F.col("_epoch") + 1).alias("_epoch"), F.col("_card").alias("_prev_card")
+    )
+    limit = F.lit(max_delta)
+    for name, v in overrides.items():
+        limit = F.when(F.col("_m") == name, F.lit(v)).otherwise(limit)
+    exploding = (
+        per_epoch.join(prev, ["_m", "_k", "_epoch"], "left")
+        .withColumn("_delta", F.col("_card") - F.coalesce(F.col("_prev_card"), F.lit(0)))
+        .filter(F.col("_delta") > limit)
+        .groupBy("_m", "_epoch")
+        .agg(F.collect_set("_k").alias("_bad"))
+        .withColumnsRenamed({"_m": "_bm", "_epoch": "_bepoch"})
+    )
+    out = df.join(
+        F.broadcast(exploding),
+        (F.col(metric_col) == F.col("_bm")) & (F.col("_epoch") == F.col("_bepoch")),
+        "left",
+    ).drop("_bm", "_bepoch")
+    bad = F.coalesce(F.col("_bad"), F.array().cast("array<string>"))
+    hit = F.exists(F.map_keys(F.col(attrs_col)), lambda k: F.array_contains(bad, k))
+
+    if mode == "tag_only":
+        tagged = F.map_concat(
+            F.col(attrs_col), F.create_map(F.lit("otel.metric.overflow"), F.lit("true"))
+        )
+        return out.withColumn(
+            attrs_col, F.when(hit, tagged).otherwise(F.col(attrs_col))
+        ).drop("_bad", "_epoch")
+    if mode == "overflow_attribute":
+        replaced = F.transform_values(
+            F.col(attrs_col),
+            lambda k, v: F.when(F.array_contains(bad, k), F.lit(OVERFLOW_SENTINEL)).otherwise(v),
+        )
+        return out.withColumn(attrs_col, replaced).drop("_bad", "_epoch")
+    if mode != "strip_and_reaggregate":
+        raise ValueError(f"unknown enforcement mode {mode!r}")
+
+    stripped = out.withColumn(
+        attrs_col, F.map_filter(F.col(attrs_col), lambda k, v: ~F.array_contains(bad, k))
+    ).drop("_bad")
+    # reaggregation.go: merge points whose identity collided after stripping.
+    # Group key = (metric, epoch, attrs); maps aren't groupable, so group on
+    # the sorted-entries JSON rendering and keep the map via first().
+    ident = F.to_json(F.array_sort(F.map_entries(F.col(attrs_col))))
+    stripped = stripped.withColumn("_ident", ident)
+    others = [
+        c for c in stripped.columns
+        if c not in (metric_col, attrs_col, ts_col, value_col, "_ident", "_epoch")
+    ]
+    if metric_type == "gauge":
+        agg = [
+            F.max_by(F.struct(ts_col, value_col, attrs_col, *others), F.col(ts_col)).alias("_last"),
+        ]
+        merged = stripped.groupBy(metric_col, "_epoch", "_ident").agg(*agg)
+        cols = [metric_col, F.col(f"_last.{ts_col}").alias(ts_col),
+                F.col(f"_last.{value_col}").alias(value_col),
+                F.col(f"_last.{attrs_col}").alias(attrs_col)]
+        cols += [F.col(f"_last.{c}").alias(c) for c in others]
+        return merged.select(*cols)
+    # delta sums add; the merged point carries the MAX timestamp (latest)
+    merged = stripped.groupBy(metric_col, "_epoch", "_ident").agg(
+        F.sum(value_col).alias(value_col),
+        F.max(ts_col).alias(ts_col),
+        F.first(attrs_col).alias(attrs_col),
+        *[F.first(c).alias(c) for c in others],
+        F.count(F.lit(1)).alias("points_merged"),
+    )
+    return merged.drop("_ident", "_epoch")
