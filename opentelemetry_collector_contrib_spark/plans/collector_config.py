@@ -432,6 +432,43 @@ def apply_processor(df: DataFrame, name: str, spec: dict) -> DataFrame:
             trace_col=_field(spec.get("trace_field") or "trace_id"),
             ts_col=spec.get("ts_field") or ("timestamp" if "timestamp" in df.columns else "ts"),
         )
+    if kind == "cardinality_guardian":
+        # processor/cardinalityguardianprocessor/config.go — yaml keys map
+        # 1:1; enforcement_mode default tag_only matches the reference
+        from ..operators.metrics import cardinality_guardian
+
+        return cardinality_guardian(
+            df,
+            metric_col=spec.get("metric_field", "metric_name"),
+            attrs_col=spec.get("attributes_field", "attributes"),
+            ts_col=spec.get("ts_field") or ("timestamp" if "timestamp" in df.columns else "ts"),
+            value_col=spec.get("value_field", "value"),
+            epoch_seconds=int(spec.get("epoch_duration_seconds", 300)),
+            max_delta=int(spec.get("max_cardinality_delta_per_epoch", 500)),
+            never_drop=spec.get("never_drop_labels"),
+            metric_overrides=spec.get("metric_overrides"),
+            mode=spec.get("enforcement_mode", "tag_only"),
+            metric_type=spec.get("metric_type", "delta_sum"),
+        )
+    if kind == "isolationforest":
+        # processor/isolationforestprocessor/config.go defaults: mode
+        # enrich, forest_size 100, subsample_size 256, window_size 1000,
+        # contamination_rate 0.10, multi-model via `features` keys
+        from ..operators.anomaly import isolation_forest
+
+        return isolation_forest(
+            df,
+            feature_cols=[_field(f) for f in spec["feature_fields"]],
+            mode=spec.get("mode", "enrich"),
+            forest_size=int(spec.get("forest_size", 100)),
+            subsample_size=int(spec.get("subsample_size", 256)),
+            window_size=int(spec.get("window_size", 1000)),
+            anomaly_threshold=spec.get("anomaly_threshold"),
+            contamination_rate=float(spec.get("contamination_rate", 0.10)),
+            group_keys=[_field(f) for f in spec.get("features", [])] or None,
+            score_col=spec.get("score_attribute", "anomaly.isolation_score"),
+            flag_col=spec.get("classification_attribute", "anomaly.is_anomaly"),
+        )
     raise ValueError(f"unsupported processor {name!r}")
 
 

@@ -273,3 +273,80 @@ def test_guardian_approx_mode_agrees_at_small_cardinality(spark):
                              mode="tag_only", exact=True).collect()
     key = lambda r: (r["ts"], tuple(sorted(r["attributes"].items())))
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+# ------------------------------------------------ YAML translator wiring
+
+
+def test_guardian_in_collector_config(spark):
+    from opentelemetry_collector_contrib_spark.plans.collector_config import (
+        load_collector_config,
+    )
+
+    mf = spark.createDataFrame(_metric_rows(), SCHEMA)
+    cfg = {
+        "receivers": {"inmem": {}},
+        "processors": {
+            "cardinality_guardian": {
+                "ts_field": "ts",
+                "epoch_duration_seconds": 300,
+                "max_cardinality_delta_per_epoch": 10,
+                "never_drop_labels": ["region"],
+                "enforcement_mode": "strip_and_reaggregate",
+            }
+        },
+        "exporters": {},
+        "service": {
+            "pipelines": {
+                "metrics/in": {
+                    "receivers": ["inmem"],
+                    "processors": ["cardinality_guardian"],
+                    "exporters": [],
+                }
+            }
+        },
+    }
+    t = load_collector_config(spark, cfg, receiver_frames={"inmem": mf})
+    out = t.frames["metrics/in"].collect()
+    stripped = [r for r in out if "error.type" not in r["attributes"]]
+    assert len(stripped) == 2 and sum(r["value"] for r in stripped) == 40.0
+
+
+def test_isolationforest_in_collector_config(spark):
+    from opentelemetry_collector_contrib_spark.plans.collector_config import (
+        load_collector_config,
+    )
+
+    X = _blob(seed=11)
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(X)],
+        "id int, fx double, fy double",
+    )
+    cfg = {
+        "receivers": {"inmem": {}},
+        "processors": {
+            "isolationforest": {
+                "feature_fields": ["fx", "fy"],
+                "mode": "enrich",
+                "forest_size": 60,
+                "subsample_size": 128,
+                "window_size": 400,
+                "anomaly_threshold": 0.62,
+            }
+        },
+        "exporters": {},
+        "service": {
+            "pipelines": {
+                "logs/in": {
+                    "receivers": ["inmem"],
+                    "processors": ["isolationforest"],
+                    "exporters": [],
+                }
+            }
+        },
+    }
+    t = load_collector_config(spark, cfg, receiver_frames={"inmem": df})
+    out = t.frames["logs/in"]
+    assert "anomaly.isolation_score" in out.columns
+    flagged = {r["id"] for r in out.filter(F.col("`anomaly.is_anomaly`")).collect()}
+    assert set(range(4)) <= flagged
