@@ -432,6 +432,16 @@ def apply_processor(df: DataFrame, name: str, spec: dict) -> DataFrame:
             trace_col=_field(spec.get("trace_field") or "trace_id"),
             ts_col=spec.get("ts_field") or ("timestamp" if "timestamp" in df.columns else "ts"),
         )
+    if kind == "genainormalizer":
+        # processor/genainormalizerprocessor/config.go: ordered `sources`
+        # (builtin openinference/openllmetry or user-defined mapping tables)
+        from ..operators.genai import genai_normalize
+
+        return genai_normalize(
+            df,
+            sources=spec["sources"],
+            attrs_col=spec.get("attributes_field", "attributes"),
+        )
     if kind == "cardinality_guardian":
         # processor/cardinalityguardianprocessor/config.go — yaml keys map
         # 1:1; enforcement_mode default tag_only matches the reference
