@@ -433,3 +433,236 @@ def _span_pred(p: dict, spans: DataFrame, tracestate_col: str) -> Column:
             pred = c if pred is None else (pred | c)
         return pred if pred is not None else F.lit(False)
     raise ValueError(t)
+
+
+# ---------------------------------------------------------------- dynamic sampling
+
+#: W3C tracestate randomness / threshold width (OTel consistent probability
+#: sampling): 56 bits.
+_TWO56 = 1 << 56
+
+
+def _th_hex(t: Column) -> Column:
+    """Threshold → trimmed `th` hex per the OTel tracestate spec (trailing
+    zeros removed from the 14-digit encoding; T=0 encodes as "0")."""
+    h = F.lpad(F.lower(F.conv(t.cast("string"), 10, 16)), 14, "0")
+    trimmed = F.regexp_replace(h, "0+$", "")
+    return F.when(trimmed == "", F.lit("0")).otherwise(trimmed)
+
+
+def dynamic_sampling(
+    spans: DataFrame,
+    rules: list[dict],
+    trace_col: str = "trace_id",
+    ts_col: str = "ts",
+    tracestate_col: str = "trace_state",
+    rule_attr: str = "dynamic_sampling_rule",
+    window_seconds: float | None = None,
+) -> DataFrame:
+    """Adaptive tail-based trace sampling — ``processor/dynamicsamplingprocessor``.
+
+    First-match rules route each assembled trace to a sampler; the sampler
+    yields a 1-in-N rate; the rate becomes an OTel consistent-probability
+    threshold ``T = 2^56 − ⌊2^56/N⌋`` and the trace is kept iff its
+    randomness ``R ≥ T`` (R = tracestate ``ot=rv`` when present, else the
+    low 56 bits of the trace id — processor README steps 4-7). Kept spans
+    carry the matched rule name and a tracestate whose ``ot=th`` is the
+    strictest of the incoming and computed thresholds
+    (``UpdateTValueWithSampling``, processor.go:742-804); other tracestate
+    members and an incoming ``rv`` survive. Unmatched traces drop
+    (processor.go:646).
+
+    Rule dicts: ``{name, conditions: [ottl-str], match: any_span|same_span,
+    sampler: {type, ...}}`` — ``any_span`` needs every condition satisfied
+    by SOME span, ``same_span`` needs one span satisfying all (config.go
+    MatchMode). No conditions = catch-all.
+
+    Samplers (internal/sampler/sampler.go; rates clamped ≥ 1):
+      * ``always_sample`` — rate 1.
+      * ``deterministic`` — rate = max(int(100/sampling_percentage), 1).
+      * ``ema_dynamic`` — per-key adaptive rate targeting
+        ``goal_sampling_percentage`` on average. Batch analog of
+        dynsampler-go's log-weighted average-rate law over THIS batch's
+        key counts (the lib's EMA state is wall-clock driven; a batch's
+        "recent traffic" is the batch itself): goalCount = N/goalRate,
+        goalRatio = goalCount / Σ_k log10(n_k), rate_k =
+        round(n_k / (goalRatio·log10(n_k))) — rare keys (n_k = 1) keep
+        everything, heavy keys are sampled so Σ n_k/rate_k ≈ goalCount.
+      * ``ema_throughput`` / ``windowed_throughput`` — target
+        ``goal_throughput_per_sec`` total: goalCount = goal·window, split
+        evenly across keys (dynsampler WindowedThroughput), rate_k =
+        max(1, round(n_k·numKeys/goalCount)). ``window_seconds`` defaults
+        to the batch's span-timestamp range.
+
+    Sampling keys (internal/sampler/key.go): per key attribute, the SORTED
+    DISTINCT values across the trace's spans joined by ",", "<missing>"
+    when absent; fields joined by "•".
+
+    Scale shape: per-span flags → one trace hash-agg → per-(rule, key)
+    hash-agg (cardinality = sampling keys, tiny) broadcast back → semi-join
+    of kept trace ids onto spans. No driver state beyond the optional
+    2-value window probe.
+    """
+    from ..functions.ottl import Compiler, PathResolver
+
+    comp = Compiler(PathResolver(spans))
+    has_ts_col = tracestate_col in spans.columns
+
+    # ---- per-span rule-condition flags --------------------------------
+    flags: list[Column] = []
+    per_rule_flag_ids: list[list[int]] = []
+    key_fields = sorted({a for r in rules for a in r.get("sampler", {}).get("key_attributes", [])})
+    for r in rules:
+        ids = []
+        for cond in r.get("conditions", []):
+            c = comp.compile_condition(cond)
+            ids.append(len(flags))
+            flags.append((c & c.isNotNull()).alias(f"_dsf{len(flags)}"))
+        per_rule_flag_ids.append(ids)
+
+    base = spans.select(
+        F.col(trace_col).alias("_tid"),
+        F.col(ts_col).alias("_ts"),
+        (F.col(tracestate_col) if has_ts_col else F.lit(None).cast("string")).alias("_tstate"),
+        *flags,
+        *[F.col(k).cast("string").alias(f"_dsk_{i}") for i, k in enumerate(key_fields)],
+    )
+
+    # ---- trace assembly: one hash-agg ---------------------------------
+    aggs = []
+    for ri, (r, ids) in enumerate(zip(rules, per_rule_flag_ids)):
+        if not ids:
+            continue
+        if r.get("match", "any_span") == "same_span":
+            one = F.lit(True)
+            for i in ids:
+                one = one & F.col(f"_dsf{i}")
+            aggs.append(F.max(one).alias(f"_dsr{ri}"))
+        else:  # any_span: each condition satisfied by some span
+            aggs.extend(F.max(F.col(f"_dsf{i}")).alias(f"_dsfm{i}") for i in ids)
+    aggs.extend(
+        F.array_join(F.array_sort(F.collect_set(f"_dsk_{i}")), ",").alias(f"_dskv_{i}")
+        for i in range(len(key_fields))
+    )
+    aggs.append(F.min("_ts").alias("_ts_min"))
+    aggs.append(F.max("_ts").alias("_ts_max"))
+    # first non-null tracestate of the trace carries rv / incoming th
+    aggs.append(F.first("_tstate", ignorenulls=True).alias("_tstate"))
+    traces = base.groupBy("_tid").agg(*aggs)
+
+    def rule_matched(ri: int) -> Column:
+        ids = per_rule_flag_ids[ri]
+        if not ids:
+            return F.lit(True)  # catch-all
+        if rules[ri].get("match", "any_span") == "same_span":
+            return F.coalesce(F.col(f"_dsr{ri}"), F.lit(False))
+        out = F.lit(True)
+        for i in ids:
+            out = out & F.coalesce(F.col(f"_dsfm{i}"), F.lit(False))
+        return out
+
+    ridx = F.lit(None).cast("int")
+    for ri in range(len(rules) - 1, -1, -1):
+        ridx = F.when(rule_matched(ri), F.lit(ri)).otherwise(ridx)
+    traces = traces.withColumn("_ridx", ridx).filter(F.col("_ridx").isNotNull())
+
+    # per-rule sampling key (key.go: fields joined by "•", missing values
+    # as "<missing>")
+    def key_for(r: dict) -> Column:
+        fields = r.get("sampler", {}).get("key_attributes", [])
+        if not fields:
+            return F.lit("")
+        parts = []
+        for k in fields:
+            v = F.col(f"_dskv_{key_fields.index(k)}")
+            parts.append(F.when(v.isNull() | (v == ""), F.lit("<missing>")).otherwise(v))
+        return F.concat_ws("•", *parts)
+
+    kcol = F.lit("")
+    for ri in range(len(rules) - 1, -1, -1):
+        kcol = F.when(F.col("_ridx") == ri, key_for(rules[ri])).otherwise(kcol)
+    traces = traces.withColumn("_dskey", kcol)
+
+    # ---- per-(rule, key) adaptive rates --------------------------------
+    if window_seconds is None:
+        lo, hi = traces.agg(F.min("_ts_min"), F.max("_ts_max")).collect()[0]
+        try:
+            window_seconds = max(float(hi) - float(lo), 1.0)
+        except (TypeError, ValueError):
+            window_seconds = max((hi - lo).total_seconds(), 1.0)
+
+    counts = traces.groupBy("_ridx", "_dskey").agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.groupBy("_ridx").agg(
+        F.sum("_n").alias("_total"),
+        F.sum(F.log10(F.greatest(F.col("_n"), F.lit(1)).cast("double"))).alias("_logsum"),
+        F.count(F.lit(1)).alias("_nkeys"),
+    )
+    counts = counts.join(tot, "_ridx")
+
+    def rate_for(r: dict) -> Column:
+        s = r.get("sampler", {"type": "always_sample"})
+        t = s.get("type", "always_sample")
+        if t == "always_sample":
+            return F.lit(1.0)
+        if t == "deterministic":
+            return F.lit(float(max(int(100.0 / s["sampling_percentage"]), 1)))
+        n = F.col("_n").cast("double")
+        if t == "ema_dynamic":
+            goal_rate = 100.0 / s["goal_sampling_percentage"]
+            goal_count = F.col("_total") / goal_rate
+            goal_ratio = goal_count / F.col("_logsum")
+            return F.when(
+                n <= 1.0, F.lit(1.0)
+            ).otherwise(F.greatest(F.round(n / (goal_ratio * F.log10(n))), F.lit(1.0)))
+        if t in ("ema_throughput", "windowed_throughput"):
+            goal_count = F.lit(float(s["goal_throughput_per_sec"]) * window_seconds)
+            return F.greatest(
+                F.round(n * F.col("_nkeys") / goal_count), F.lit(1.0)
+            )
+        raise ValueError(f"unknown sampler type {t!r}")
+
+    rcol = F.lit(1.0)
+    for ri in range(len(rules) - 1, -1, -1):
+        rcol = F.when(F.col("_ridx") == ri, rate_for(rules[ri])).otherwise(rcol)
+    rates = counts.withColumn("_rate", rcol).select("_ridx", "_dskey", "_rate")
+    traces = traces.join(F.broadcast(rates), ["_ridx", "_dskey"])
+
+    # ---- consistent-probability decision -------------------------------
+    ot = F.str_to_map(F.coalesce(F.col("_tstate"), F.lit("")), F.lit(","), F.lit("="))
+    otv = F.str_to_map(F.coalesce(F.element_at(ot, "ot"), F.lit("")), F.lit(";"), F.lit(":"))
+    rv_hex = F.element_at(otv, "rv")
+    th_in_hex = F.element_at(otv, "th")
+    randomness = F.coalesce(
+        F.conv(rv_hex, 16, 10).cast("long"),
+        F.conv(F.substring(F.col("_tid"), -14, 14), 16, 10).cast("long"),
+    )
+    t_computed = (
+        F.lit(_TWO56) - F.floor(F.lit(float(_TWO56)) / F.col("_rate"))
+    ).cast("long")
+    th_in = F.conv(F.rpad(F.coalesce(th_in_hex, F.lit("0")), 14, "0"), 16, 10).cast("long")
+    t_final = F.greatest(t_computed, th_in)
+    decided = traces.withColumn("_keep", randomness >= t_computed).filter("_keep")
+
+    rname = F.lit(None).cast("string")
+    for ri in range(len(rules) - 1, -1, -1):
+        rname = F.when(F.col("_ridx") == ri, F.lit(rules[ri].get("name", f"rule_{ri}"))).otherwise(rname)
+    new_ot = F.concat(
+        F.lit("ot=th:"), _th_hex(t_final),
+        F.when(rv_hex.isNotNull(), F.concat(F.lit(";rv:"), rv_hex)).otherwise(F.lit("")),
+    )
+    # preserve other tracestate vendor members, replace/insert ot
+    others = F.filter(
+        F.split(F.coalesce(F.col("_tstate"), F.lit("")), ","),
+        lambda m: (m != "") & ~m.startswith("ot="),
+    )
+    full_ts = F.array_join(F.concat(F.array(new_ot), others), ",")
+    kept = decided.select(
+        F.col("_tid").alias(trace_col),
+        rname.alias("__ds_rule"),
+        full_ts.alias("__ds_tstate"),
+    )
+    out = spans.join(F.broadcast(kept), trace_col)
+    out = out.withColumn(rule_attr, F.col("__ds_rule")).drop("__ds_rule")
+    if has_ts_col:
+        out = out.withColumn(tracestate_col, F.col("__ds_tstate"))
+    return out.drop("__ds_tstate")

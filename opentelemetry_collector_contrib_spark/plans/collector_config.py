@@ -432,6 +432,20 @@ def apply_processor(df: DataFrame, name: str, spec: dict) -> DataFrame:
             trace_col=_field(spec.get("trace_field") or "trace_id"),
             ts_col=spec.get("ts_field") or ("timestamp" if "timestamp" in df.columns else "ts"),
         )
+    if kind == "dynamic_sampling":
+        # processor/dynamicsamplingprocessor/config.go: rules + samplers map
+        # 1:1; trace_timeout/decision_delay/num_traces/decision_cache are
+        # stream-buffer knobs with no batch analog (batch sees whole traces)
+        from ..operators.templates import dynamic_sampling
+
+        return dynamic_sampling(
+            df,
+            rules=spec["rules"],
+            trace_col=_field(spec.get("trace_field") or "trace_id"),
+            ts_col=spec.get("ts_field") or ("timestamp" if "timestamp" in df.columns else "ts"),
+            tracestate_col=spec.get("tracestate_field", "trace_state"),
+            window_seconds=spec.get("window_seconds"),
+        )
     if kind == "genainormalizer":
         # processor/genainormalizerprocessor/config.go: ordered `sources`
         # (builtin openinference/openllmetry or user-defined mapping tables)
