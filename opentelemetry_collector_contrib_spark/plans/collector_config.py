@@ -432,6 +432,27 @@ def apply_processor(df: DataFrame, name: str, spec: dict) -> DataFrame:
             trace_col=_field(spec.get("trace_field") or "trace_id"),
             ts_col=spec.get("ts_field") or ("timestamp" if "timestamp" in df.columns else "ts"),
         )
+    if kind in ("span_pruning", "spanpruning"):
+        # processor/spanpruningprocessor/config.go (spanpruning is the
+        # deprecated alias the reference still accepts)
+        from ..operators.pruning import span_pruning
+
+        return span_pruning(
+            df,
+            group_by_attributes=spec.get("group_by_attributes"),
+            conditions=spec.get("conditions"),
+            min_spans_to_aggregate=int(spec.get("min_spans_to_aggregate", 5)),
+            max_parent_depth=int(spec.get("max_parent_depth", 1)),
+            aggregation_attribute_prefix=spec.get(
+                "aggregation_attribute_prefix", "aggregation."
+            ),
+            trace_col=_field(spec.get("trace_field") or "trace_id"),
+            enable_outlier_analysis=bool(spec.get("enable_outlier_analysis", False)),
+            outlier_method=spec.get("outlier_analysis", {}).get("method", "iqr"),
+            iqr_multiplier=float(spec.get("outlier_analysis", {}).get("iqr_multiplier", 1.5)),
+            mad_multiplier=float(spec.get("outlier_analysis", {}).get("mad_multiplier", 3.0)),
+            outlier_min_group_size=int(spec.get("outlier_analysis", {}).get("min_group_size", 7)),
+        )
     if kind == "dynamic_sampling":
         # processor/dynamicsamplingprocessor/config.go: rules + samplers map
         # 1:1; trace_timeout/decision_delay/num_traces/decision_cache are
