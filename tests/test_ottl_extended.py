@@ -93,7 +93,7 @@ class TestSyslogParser:
         assert out[1]._parse_error
 
     def test_rfc5424_structured_data(self, spark):
-        """SD elements parse into the nested map (parser.go:115 via
+        r"""SD elements parse into the nested map (parser.go:115 via
         go-syslog): multi-element, escaped \" and \] in values, empty param
         list, NILVALUE -> null."""
         from opentelemetry_collector_contrib_spark.operators.parsers import (
