@@ -597,7 +597,10 @@ def dynamic_sampling(
         F.sum(F.log10(F.greatest(F.col("_n"), F.lit(1)).cast("double"))).alias("_logsum"),
         F.count(F.lit(1)).alias("_nkeys"),
     )
-    counts = counts.join(tot, "_ridx")
+    # explicit broadcast: tot is ≤ #rules rows, and with a single rule the
+    # constant _ridx key would otherwise constant-fold the equi-join into a
+    # CartesianProduct over the (possibly large) per-key counts side
+    counts = counts.join(F.broadcast(tot), "_ridx")
 
     def rate_for(r: dict) -> Column:
         s = r.get("sampler", {"type": "always_sample"})
