@@ -108,9 +108,16 @@ def regex_parser(
     unnecessary here (a distinct-join rewrite is available via
     ``dedup.distinct_parse`` if a corpus is >90% duplicates).
 
-    mode="column": one JVM regexp_extract per group (codegen, no Python).
-    mode="arrow":  single-pass vectorized ``Series.str.extract`` pandas UDF —
-                   wins when the group count is large.
+    mode="column": one JVM rlike (materialized ONCE — the match flag and the
+                   _parse_error flag share it; re-deriving it per group
+                   measured N extra full regex runs per row) + one
+                   regexp_extract per group (codegen, no Python).
+    mode="arrow":  single-pass vectorized extract in ONE Arrow batch UDF.
+                   RE2-compatible patterns run through pyarrow's C++
+                   ``pc.extract_regex`` (no GIL, no per-row Python, match
+                   flag for free from struct validity); anything RE2
+                   rejects (backrefs, lookaround) falls back to pandas
+                   ``Series.str.extract`` with the old JVM-rlike error flag.
     """
     groups = list(re.compile(pattern).groupindex.keys())
     if not groups:
@@ -118,26 +125,83 @@ def regex_parser(
     src = F.col(parse_from)
 
     if mode == "arrow":
+        import pyarrow.compute as pc
+
+        try:  # RE2 accepts the pattern? (checked once, on the driver)
+            pc.extract_regex(pa.array([], type=pa.string()), pattern)
+            re2_ok = True
+        except pa.ArrowInvalid:
+            re2_ok = False
+
         fields = ", ".join(f"{prefix}{g} string" for g in groups)
+        if re2_ok:
+            has_dollar = "$" in pattern
 
-        @F.pandas_udf(f"struct<{fields}>")
-        def _extract(s: pd.Series) -> pd.DataFrame:
-            out = s.str.extract(pattern)
-            out.columns = [f"{prefix}{g}" for g in groups]
-            return out
+            @F.pandas_udf(f"struct<{fields}, _rxm boolean>")
+            def _extract(s: pd.Series) -> pd.DataFrame:
+                arr = pa.Array.from_pandas(s, type=pa.string())
+                res = pc.extract_regex(arr, pattern)
+                out = pd.DataFrame(
+                    {
+                        f"{prefix}{g}": pc.struct_field(res, g).to_pandas()
+                        for g in groups
+                    },
+                    index=s.index,
+                )
+                # null input -> null match flag (rlike-on-null semantics)
+                matched = pd.Series(
+                    pc.if_else(
+                        pc.is_valid(arr), pc.is_valid(res), pa.scalar(None, pa.bool_())
+                    ).to_pandas().values,
+                    index=s.index,
+                )
+                # Exactness guard, normally a no-op: RE2 reports '' for BOTH
+                # an empty-participating group and a non-participating
+                # optional group (Python re: None for the latter), and `$`
+                # differs on trailing-newline inputs. Rows showing either
+                # ambiguity re-run through Python re so the output is
+                # bit-identical to the pandas path.
+                recheck = pd.Series(False, index=s.index)
+                for g in groups:
+                    recheck |= out[f"{prefix}{g}"] == ""
+                if has_dollar:
+                    recheck |= s.str.endswith("\n").fillna(False)
+                if recheck.any():
+                    subs = s[recheck]
+                    sub = subs.str.extract(pattern)
+                    sub.columns = [f"{prefix}{g}" for g in groups]
+                    for c in sub.columns:
+                        out.loc[recheck, c] = sub[c]
+                    matched.loc[recheck] = subs.str.contains(pattern, regex=True)
+                out["_rxm"] = matched
+                return out
 
-        df = df.withColumn("_rx", _extract(src))
+            df = df.withColumn("_rx", _extract(src))
+            err = ~F.col("_rx._rxm")
+        else:
+
+            @F.pandas_udf(f"struct<{fields}>")
+            def _extract(s: pd.Series) -> pd.DataFrame:
+                out = s.str.extract(pattern)
+                out.columns = [f"{prefix}{g}" for g in groups]
+                return out
+
+            df = df.withColumn("_rx", _extract(src))
+            err = ~src.rlike(java_regex(pattern))
         for g in groups:
             df = df.withColumn(f"{prefix}{g}", F.col(f"_rx.{prefix}{g}"))
-        df = df.drop("_rx")
-    else:
-        jpat = java_regex(pattern)
-        matched = src.rlike(jpat)
-        for i, g in enumerate(groups, start=1):
-            df = df.withColumn(
-                f"{prefix}{g}", F.when(matched, F.regexp_extract(src, jpat, i))
-            )
-    return _apply_on_error(df, ~src.rlike(java_regex(pattern)), on_error)
+        df = _apply_on_error(df, err, on_error)
+        return df.drop("_rx")
+    jpat = java_regex(pattern)
+    mcol = f"_rx_matched_{parse_from}"
+    df = df.withColumn(mcol, src.rlike(jpat))
+    matched = F.col(mcol)
+    for i, g in enumerate(groups, start=1):
+        df = df.withColumn(
+            f"{prefix}{g}", F.when(matched, F.regexp_extract(src, jpat, i))
+        )
+    df = _apply_on_error(df, ~matched, on_error)
+    return df.drop(mcol)
 
 
 def json_parser(
@@ -413,15 +477,18 @@ def severity_parser(
     (our engine default — routing keys on it); ``False`` keeps the raw token
     as SeverityText like the reference's default.
 
-    Implemented as a broadcast hash join against a literal token dim (exact
-    matches — aliases, enum ints, custom strings/numbers) plus a when-chain
-    for range criteria. A pure when-chain is measured ~30× slower here:
-    CollapseProject inlines ``lower(trim(x))`` into every branch (no CSE
-    across CaseWhen branches) and the 46-branch chain falls out of codegen.
+    Implemented as a constant-folded literal-map lookup over the normalized
+    token (exact matches — aliases, enum ints, custom strings/numbers) plus
+    a when-chain for range criteria. A pure when-chain is measured ~30×
+    slower here: CollapseProject inlines ``lower(trim(x))`` into every
+    branch (no CSE across CaseWhen branches) and the 46-branch chain falls
+    out of codegen. r6: the r5 broadcast-join against a createDataFrame dim
+    computed the same values but paid ~2 s of fixed driver+broadcast cost
+    per query (measured flat from sf0.1 to sf1); the folded map literal has
+    zero fixed cost and the same per-row lookup work.
     """
     from ..functions.severity import NUMBER_TO_CANONICAL_TEXT, SEVERITY_TEXT_TO_NUMBER
 
-    spark = df.sparkSession
     base: dict[str, int] = {} if preset == "none" else dict(SEVERITY_TEXT_TO_NUMBER)
     if preset != "none":
         for i in range(1, 25):
@@ -445,16 +512,27 @@ def severity_parser(
             else:
                 base[str(c).lower()] = level  # custom overrides builtin
 
-    tok_rows = [(k, v, NUMBER_TO_CANONICAL_TEXT[v]) for k, v in base.items()]
     norm = F.lower(F.trim(F.col(parse_from)))
-    if tok_rows:
-        dim = spark.createDataFrame(
-            tok_rows, "_sev_tok string, _dim_num int, _dim_text string"
+    if base:
+        # all-literal create_map constant-folds to one Literal MapData at
+        # plan time; try_element_at gives the join's null-on-no-match
+        # semantics regardless of the session's ANSI setting
+        num_map = F.create_map(
+            *[x for k, v in base.items() for x in (F.lit(k), F.lit(v).cast("int"))]
+        )
+        text_map = F.create_map(
+            *[
+                x
+                for k, v in base.items()
+                for x in (F.lit(k), F.lit(NUMBER_TO_CANONICAL_TEXT[v]))
+            ]
         )
         df = df.withColumn("_sev_norm", norm)
-        df = df.join(
-            F.broadcast(dim), F.col("_sev_norm") == F.col("_sev_tok"), "left"
-        ).drop("_sev_tok", "_sev_norm")
+        df = (
+            df.withColumn("_dim_num", F.try_element_at(num_map, F.col("_sev_norm")))
+            .withColumn("_dim_text", F.try_element_at(text_map, F.col("_sev_norm")))
+            .drop("_sev_norm")
+        )
     else:
         df = df.withColumn("_dim_num", F.lit(None).cast("int")).withColumn(
             "_dim_text", F.lit(None).cast("string")
@@ -632,9 +710,22 @@ def container_parser(df: DataFrame, parse_from: str = "body") -> DataFrame:
     recombine (logtag='P') is the ``transformers.recombine`` stage.
     """
     src = F.col(parse_from)
-    docker = F.from_json(src, "log string, stream string, time string")
-    is_docker = src.rlike(_DOCKER_MARK) & docker.isNotNull()
-    is_cri = src.rlike(java_regex(_CONTAINERD_RE))
+    jre = java_regex(_CONTAINERD_RE)
+    # Materialize the parsed-JSON struct and both format flags ONCE: inlined,
+    # each output column re-evaluated from_json / the CRI rlike per reference
+    # (7 from_json + 8 rlike per row in the r5 plan — no CSE across
+    # projection expressions). CollapseProject keeps non-cheap
+    # multi-referenced aliases in their own projection, so each now runs
+    # exactly once per row.
+    df = df.withColumn(
+        "_ct_docker", F.from_json(src, "log string, stream string, time string")
+    )
+    df = df.withColumn(
+        "_ct_is_docker", src.rlike(_DOCKER_MARK) & F.col("_ct_docker").isNotNull()
+    ).withColumn("_ct_is_cri", src.rlike(jre))
+    docker = F.col("_ct_docker")
+    is_docker = F.col("_ct_is_docker")
+    is_cri = F.col("_ct_is_cri")
     return (
         df.withColumn(
             "container_format",
@@ -643,24 +734,25 @@ def container_parser(df: DataFrame, parse_from: str = "body") -> DataFrame:
         .withColumn(
             "log",
             F.when(is_docker, docker["log"]).when(
-                is_cri, F.regexp_extract(src, java_regex(_CONTAINERD_RE), 4)
+                is_cri, F.regexp_extract(src, jre, 4)
             ),
         )
         .withColumn(
             "stream",
             F.when(is_docker, docker["stream"]).when(
-                is_cri, F.regexp_extract(src, java_regex(_CONTAINERD_RE), 2)
+                is_cri, F.regexp_extract(src, jre, 2)
             ),
         )
         .withColumn(
-            "logtag", F.when(is_cri, F.regexp_extract(src, java_regex(_CONTAINERD_RE), 3))
+            "logtag", F.when(is_cri, F.regexp_extract(src, jre, 3))
         )
         .withColumn(
             "container_time",
             F.when(is_docker, docker["time"]).when(
-                is_cri, F.regexp_extract(src, java_regex(_CONTAINERD_RE), 1)
+                is_cri, F.regexp_extract(src, jre, 1)
             ),
         )
+        .drop("_ct_docker", "_ct_is_docker", "_ct_is_cri")
     )
 
 

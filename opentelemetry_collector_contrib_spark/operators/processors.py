@@ -217,6 +217,7 @@ def redaction(
         )
     )
 
+    drop_cols = [ann_col]
     if summary in ("info", "debug"):
         cats = [
             ("redaction.redacted", lambda s: s["c"] == RED, True),
@@ -225,8 +226,17 @@ def redaction(
             ("redaction.ignored", lambda s: s["c"] == IGN, False),  # count only
         ]
         add_entries = []
-        for name, pred, with_keys in cats:
-            keys = F.array_sort(F.transform(F.filter(ann, pred), lambda s: s["k"]))
+        for i, (name, pred, with_keys) in enumerate(cats):
+            # each category's sorted key array is referenced 2-3× (count
+            # guard, joined list, count) — materialize it once per row
+            # (the r5 inline form ran 14 filter+transform+array_sort
+            # chains per row; now 4)
+            kc = f"_redkeys{i}_{attr_col}"
+            df = df.withColumn(
+                kc, F.array_sort(F.transform(F.filter(ann, pred), lambda s: s["k"]))
+            )
+            drop_cols.append(kc)
+            keys = F.col(kc)
             cnt = F.size(keys)
             if summary == "debug" and with_keys:
                 add_entries.append((F.lit(f"{name}.keys"), F.when(cnt > 0, F.array_join(keys, ","))))
@@ -239,7 +249,7 @@ def redaction(
             lambda k, v: v.isNotNull(),
         )
         out_map = F.map_concat(out_map, addition)
-    return df.withColumn(attr_col, out_map).drop(ann_col)
+    return df.withColumn(attr_col, out_map).drop(*drop_cols)
 
 
 def group_by_attrs(df: DataFrame, keys: list[str]) -> DataFrame:

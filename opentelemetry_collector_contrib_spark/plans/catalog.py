@@ -29,6 +29,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan for CPU-bound per-row queries, parallelism-guaranteed.
+
+    The driver's tables are one parquet file with one row group per table
+    (even 1M-row events at sf1), and a single row group is unsplittable —
+    the scan and every narrow stage above it run as ONE task regardless of
+    cores (measured: the whole syslog row on one of 32 cores). The
+    optimization-guide remedy for an unsplittable input is to repartition
+    right after the read; done ADAPTIVELY: only when the scan yields fewer
+    splits than the session's parallelism (at real scale a table has
+    >= cores splits and no exchange is added). The shuffle moves only the
+    scanned columns — a few MB here — and AQE leaves explicit
+    repartition(n) counts alone."""
+    df = _t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        n = par
+    return df.repartition(par) if n < par else df
+
+
 # --------------------------------------------------------------------- parse
 
 def q_regex_parser(spark, sf_dir):
@@ -56,7 +78,7 @@ FROM documents
 def q_json_parser(spark, sf_dir):
     """stanza json_parser (operator/parser/jsonparser/parser.go:29):
     events.props JSON → typed field."""
-    df = _t(spark, sf_dir, "events")
+    df = _t_par(spark, sf_dir, "events")
     df = parsers.json_parser(df, "k int", parse_from="props", parse_to="j")
     return df.select("event_id", F.col("j.k").alias("k_int"))
 
@@ -69,7 +91,7 @@ SELECT event_id, CAST(json_extract_string(props, 'k') AS INT) AS k_int FROM even
 def q_keyvalue_parser(spark, sf_dir):
     """stanza key_value_parser (operator/parser/keyvalue/parser.go:27):
     str_to_map round-trip over a synthesized k=v line."""
-    df = _t(spark, sf_dir, "events").withColumn(
+    df = _t_par(spark, sf_dir, "events").withColumn(
         "kv", F.format_string("type=%s user=%d", F.col("event_type"), F.col("user_id"))
     )
     df = parsers.keyvalue_parser(df, parse_from="kv", out="m")
@@ -104,7 +126,7 @@ FROM events
 def q_time_parser(spark, sf_dir):
     """stanza time_parser (helper/time.go:74-123): format → strptime parse
     round-trip, returned as epoch micros."""
-    df = _t(spark, sf_dir, "events").withColumn(
+    df = _t_par(spark, sf_dir, "events").withColumn(
         "ts_str", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
     )
     df = parsers.time_parser(df, "ts_str", "t2", "%Y-%m-%dT%H:%M:%S.%f")
@@ -473,7 +495,7 @@ def q_exact_dedup(spark, sf_dir):
     per CANONICAL url, proving the full normalization chain (lowering, port
     strip, param strip+sort, slash trim). One unioned frame keyed by `kind`;
     the oracle constructs the expected canonical string independently."""
-    df = _t(spark, sf_dir, "documents")
+    df = _t_par(spark, sf_dir, "documents")
     norm = F.substring(F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 128)
     content = (
         df.groupBy(
@@ -514,7 +536,7 @@ def q_line_dedup(spark, sf_dir):
     3-word lines repeat across docs, like boilerplate does), lines occurring
     in MORE than 2 distinct docs dropped, docs rebuilt in original order —
     all-boilerplate docs come back empty rather than vanishing."""
-    df = _t(spark, sf_dir, "documents").select(
+    df = _t_par(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_replace("text", r"(\S+ \S+ \S+) ", "$1\n").alias("text"),
     )
@@ -592,7 +614,7 @@ def q_log_template_mining(spark, sf_dir):
     → count. Deterministic masking instead of online Drain clustering."""
     from ..operators.templates import mine_templates
 
-    df = _t(spark, sf_dir, "events").withColumn(
+    df = _t_par(spark, sf_dir, "events").withColumn(
         "line",
         F.format_string(
             'user=%s type=%s took %sms ip=10.0.%s.%s "req done"',
@@ -725,7 +747,7 @@ FROM lines
 def q_uri_parser(spark, sf_dir):
     """stanza uri_parser (operator/parser/uri/parser.go:26): parse_url per
     component over a synthesized URL."""
-    df = _t(spark, sf_dir, "events").withColumn(
+    df = _t_par(spark, sf_dir, "events").withColumn(
         "url",
         F.format_string(
             "https://%s.example.com:8443/api/v%s/items?uid=%s",
@@ -771,7 +793,7 @@ def q_syslog_parser(spark, sf_dir):
     # --- RFC5424 branch (with STRUCTURED-DATA: two SD elements per line,
     # parsed into the nested map and surfaced as flat compared columns)
     pri = F.when(F.col("event_type") == "error", 11).otherwise(14)
-    df = _t(spark, sf_dir, "events").withColumn(
+    df = _t_par(spark, sf_dir, "events").withColumn(
         "body",
         F.format_string(
             '<%s>1 %s host-%s app-%s %s ID47 [ex@32473 eid="%s" src="%s"][meta seq="%s"] boom %s',
@@ -798,7 +820,7 @@ def q_syslog_parser(spark, sf_dir):
 
     # --- RFC3164 branch
     pri3 = F.when(F.col("event_type") == "error", 35).otherwise(165)
-    df3 = _t(spark, sf_dir, "events").withColumn(
+    df3 = _t_par(spark, sf_dir, "events").withColumn(
         "body",
         F.format_string(
             "<%s>%s host-%s app%s[%s]: msg %s",
@@ -879,7 +901,7 @@ def q_container_parser(spark, sf_dir):
         '{"log":"m %s","stream":"stdout","time":"2024-01-01T00:00:00Z"}', F.col("event_id")
     )
     cri_line = F.format_string("2024-01-01T00:00:00Z stderr F m %s", F.col("event_id"))
-    df = _t(spark, sf_dir, "events").withColumn(
+    df = _t_par(spark, sf_dir, "events").withColumn(
         "body", F.when(F.col("event_id") % 2 == 0, docker_line).otherwise(cri_line)
     )
     df = parsers.container_parser(df, "body")
@@ -987,7 +1009,7 @@ def q_grok_parser(spark, sf_dir):
     18-120): grok → named-group regex at plan time, typed captures."""
     from ..functions.grok import grok_parser
 
-    df = _t(spark, sf_dir, "events").withColumn(
+    df = _t_par(spark, sf_dir, "events").withColumn(
         "body",
         F.format_string(
             "10.0.%s.%s GET /api/%s 200 %s",
@@ -1018,7 +1040,7 @@ def q_ottl_map_editors(spark, sf_dir):
     Column expressions by the OTTL frontend."""
     from ..functions.ottl import transform_processor
 
-    df = _t(spark, sf_dir, "events").withColumn(
+    df = _t_par(spark, sf_dir, "events").withColumn(
         "attributes",
         F.create_map(
             F.lit("etype"), F.col("event_type"),
@@ -1188,7 +1210,7 @@ def q_redaction_summary(spark, sf_dir):
     (processor.go:416-437, names :584-589) at summary=debug — the redacted
     map contents and the redaction.redacted/masked .keys/.count bookkeeping
     verified in one query."""
-    df = _t(spark, sf_dir, "events").withColumn(
+    df = _t_par(spark, sf_dir, "events").withColumn(
         "attributes",
         F.create_map(
             F.lit("user"), F.col("user_id").cast("string"),
@@ -1234,7 +1256,7 @@ def q_attributes_resource_detect(spark, sf_dir):
     from ..operators import enrich
 
     df = (
-        _t(spark, sf_dir, "events")
+        _t_par(spark, sf_dir, "events")
         .withColumn(
             "path", F.format_string("/api/%s/%s", F.col("event_type"), F.col("event_id"))
         )
@@ -1455,11 +1477,11 @@ def q_lang_id(spark, sf_dir):
     languages at all."""
     from ..operators import quality
 
-    df = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    df = _t_par(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     planted = spark.createDataFrame(LANG_ID_PLANTS, "doc_id long, text string, lang string")
     both = df.unionByName(planted)
     return (
-        both.withColumn("lang_pred", quality.lang_id(F.col("text")))
+        quality.lang_id_frame(both, "text", "lang_pred")
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -1711,11 +1733,12 @@ def q_minhash_lsh(spark, sf_dir):
     feats = dedup.shingle_hash_frame(
         df, "text", "doc_id", 5, hash_fn="portable", keep_word_hashes=True
     )
-    base = feats.select(
-        "id",
-        dedup.portable_minhash_sig_udf(32)(F.col("hs")).alias("sig"),
-        dedup.simhash_from_hashes(F.col("wh"), bits=40).alias("sh"),
-    )
+    # r6: signature + simhash fused into one vectorized Arrow pass — the r5
+    # form voted simhash bits via an interpreted-HOF aggregate (40 × n_words
+    # lambda evaluations per row), the row's dominant cost at sf1
+    base = feats.withColumn(
+        "_ss", dedup.portable_minhash_sig_simhash_udf(32)(F.col("hs"), F.col("wh"))
+    ).select("id", F.col("_ss.sig").alias("sig"), F.col("_ss.sh").alias("sh"))
     pairs = dedup.lsh_pairs_from_signatures(
         base, num_hashes=32, bands=8, jaccard_threshold=0.5, hash_fn="portable"
     )
