@@ -1798,10 +1798,12 @@ class Compiler:
             "ParseXML": ("str", X.parse_xml_str, "string", True),
             "ParseSimplifiedXML": ("doc", X.parse_simplified_from_doc, "string", True),
             "GetXML": ("doc", X.get_xml_from_doc, "string", True),
-            "RemoveXML": ("str", X.remove_xml_str, "string", True),
+            # mutating converters share the fused parse too — they deep-copy
+            # the parsed doc (~4× cheaper than re-parsing the string)
+            "RemoveXML": ("doc", X.remove_xml_from_doc, "string", True),
             "InsertXML": ("str", X.insert_xml_str, "string", True),
             "ConvertAttributesToElementsXML": (
-                "str", X.convert_attributes_to_elements_str, "string", True),
+                "doc", X.convert_attributes_from_doc, "string", True),
             "ConvertTextToElementsXML": (
                 "str", X.convert_text_to_elements_str, "string", True),
             "FNV": ("str", fnv_row, "long", False),
@@ -1870,8 +1872,10 @@ class Compiler:
                         continue
                     try:
                         if kind == "doc":
-                            if name == "GetXML" and not v:
-                                cols[i].append("")  # get_xml_str("") == ""
+                            if name in ("GetXML", "RemoveXML") and not v:
+                                # get_xml_str("") == "" == remove_xml_str("")
+                                # (both short-circuit before parsing)
+                                cols[i].append("")
                                 continue
                             if doc is None and not doc_failed:
                                 try:

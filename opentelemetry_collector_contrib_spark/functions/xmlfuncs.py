@@ -367,6 +367,40 @@ def insert_xml_str(s: str, xp: str, sub: str) -> str | None:
     return _ser_doc(doc)
 
 
+def copy_doc(doc: _Doc) -> _Doc:
+    """Deep copy of a parsed doc — ~4× cheaper than re-parsing the string,
+    which is what makes mutating converters shareable in a fused run."""
+    return _Doc(children=[_copy_node(c) for c in doc.children], decl=doc.decl)
+
+
+def remove_xml_from_doc(doc: _Doc, xp: str) -> str | None:
+    """RemoveXML over a PRIVATE copy of an already-parsed doc (fused runs:
+    one shared parse, each mutating converter copies instead of re-parsing).
+    Same output as ``remove_xml_str`` on the original string."""
+    doc = copy_doc(doc)
+    try:
+        matches = _select(doc, xp)
+    except XMLArgError:
+        return None
+    _apply_removals(doc, matches)
+    return _ser_doc(doc)
+
+
+def _apply_removals(doc: _Doc, matches: list) -> None:
+    for m in matches:
+        if m[0] == "elem":
+            parent, e = m[1], m[2]
+            if e in parent.children:
+                parent.children.remove(e)
+        elif m[0] == "attr":
+            owner, name = m[1], m[2]
+            owner.attrs = [(k, v) for k, v in owner.attrs if k != name]
+        elif m[0] == "text":
+            owner, t = m[1], m[2]
+            if t in owner.children:
+                owner.children.remove(t)
+
+
 def remove_xml_str(s: str, xp: str) -> str | None:
     """RemoveXML: drop matched elements/attributes/text
     (func_remove_xml.go:43-75)."""
@@ -390,6 +424,30 @@ def remove_xml_str(s: str, xp: str) -> str | None:
             if t in owner.children:
                 owner.children.remove(t)
     return _ser_doc(doc)
+
+
+def convert_attributes_from_doc(doc: _Doc, xp: str = "//@*") -> str | None:
+    """ConvertAttributesToElementsXML over a PRIVATE copy of an
+    already-parsed doc (see ``remove_xml_from_doc``)."""
+    doc = copy_doc(doc)
+    try:
+        matches = (
+            _desc_attrs_docorder(doc) if xp in ("", "//@*") else _select(doc, xp)
+        )
+    except XMLArgError:
+        return None
+    _apply_attr_conversion(matches)
+    return _ser_doc(doc)
+
+
+def _apply_attr_conversion(matches: list) -> None:
+    for m in matches:
+        if m[0] != "attr":
+            continue
+        owner, name = m[1], m[2]
+        val = dict(owner.attrs).get(name, "")
+        owner.children.append(_Elem(name, [], [_Text(val)]))
+        owner.attrs = [(k, v) for k, v in owner.attrs if k != name]
 
 
 def convert_attributes_to_elements_str(s: str, xp: str = "//@*") -> str | None:

@@ -1730,14 +1730,18 @@ def q_minhash_lsh(spark, sf_dir):
     # persisted by lsh_pairs_from_signatures before its 3 downstream uses —
     # the r4 form re-ran the md5 word hashing ~4x (banding, two verify
     # sides, plus a separate simhash scan): measured 6.1s -> ~3s at sf0.1.
-    feats = dedup.shingle_hash_frame(
-        df, "text", "doc_id", 5, hash_fn="portable", keep_word_hashes=True
-    )
-    # r6: signature + simhash fused into one vectorized Arrow pass — the r5
-    # form voted simhash bits via an interpreted-HOF aggregate (40 × n_words
-    # lambda evaluations per row), the row's dominant cost at sf1
-    base = feats.withColumn(
-        "_ss", dedup.portable_minhash_sig_simhash_udf(32)(F.col("hs"), F.col("wh"))
+    # r6: the whole feature step (word md5 → shingle fold → signature minima
+    # → simhash vote) runs as ONE flat-vectorized Arrow pass — the r5 chain
+    # evaluated an interpreted polyfold/mix40 HOF per shingle position and a
+    # 40-lambda vote per word (measured ~4.5 s of the row's 6.9 s at sf1).
+    # Tokenization stays in the JVM (split/lower semantics unchanged);
+    # the numpy math is bit-identical to the Column/SQL form the oracle pins
+    # (equality pinned in tests/test_dedup_similarity.py).
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    base = df.select(
+        F.col("doc_id").alias("id"), words.alias("_w")
+    ).withColumn(
+        "_ss", dedup.portable_minhash_features_udf(k=5, num_hashes=32)(F.col("_w"))
     ).select("id", F.col("_ss.sig").alias("sig"), F.col("_ss.sh").alias("sh"))
     pairs = dedup.lsh_pairs_from_signatures(
         base, num_hashes=32, bands=8, jaccard_threshold=0.5, hash_fn="portable"

@@ -108,6 +108,14 @@ def get_spark(
         # kills are not a risk, and each wedge costs ~1 min, not forever.
         .config("spark.python.worker.idleTimeoutSeconds", "60")
         .config("spark.python.worker.killOnIdleTimeout", "true")
+        # partitionBy writes: without this, FileFormatWriter inserts a
+        # per-task SORT by the partition columns, which at 80M rows spills
+        # (~450 MB execution memory per task on local[32]) — measured 166 s
+        # → 140 s on the routed sink. Our sinks have bounded partition
+        # cardinality (a handful of route_ids / exporter shards), so 8
+        # concurrent open writers per task always suffices; tasks exceeding
+        # it fall back to the sort automatically.
+        .config("spark.sql.maxConcurrentOutputFileWriters", "8")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -567,3 +567,37 @@ def test_jpeg_codec_roundtrip_and_features(spark):
     w2, h2, out2 = decode_jpeg(bytes(small.payload))
     assert (w2, h2) == (4, 5)
     assert out2[:, :, 0].mean() > 200 and out2[:, :, 1].mean() < 60
+
+
+def test_portable_features_udf_matches_column_path(spark):
+    """The flat-vectorized words→(sig, sh) Arrow pass must be bit-identical
+    to the Column/HOF formulation the DuckDB oracle pins — including short
+    (<k words) rows, empty strings, and repeated-shingle docs."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "tiny doc"),          # shorter than k: one truncated window
+        (4, "one"),               # single word
+        (5, ""),                  # splits to [""]
+        (6, "a a a a a a a a a"),  # every shingle identical
+        (7, None),                # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    fast = (
+        df.select(F.col("doc_id").alias("id"), words.alias("_w"))
+        .withColumn("_ss", dedup.portable_minhash_features_udf(k=5, num_hashes=16)(F.col("_w")))
+        .select("id", F.col("_ss.sig").alias("sig"), F.col("_ss.sh").alias("sh"))
+    )
+    feats = dedup.shingle_hash_frame(
+        df, "text", "doc_id", 5, hash_fn="portable", keep_word_hashes=True
+    )
+    slow = feats.select(
+        "id",
+        dedup.minhash_signature_from_hashes(F.col("hs"), 16, hash_fn="portable").alias("sig"),
+        dedup.simhash_from_hashes(F.col("wh"), bits=40).alias("sh"),
+    )
+    a = {r.id: (list(r.sig) if r.sig is not None else None, r.sh) for r in fast.collect()}
+    b = {r.id: (list(r.sig) if r.sig is not None else None, r.sh) for r in slow.collect()}
+    # null words row: the Column path yields null sig/sh as well
+    assert a == b
