@@ -719,7 +719,7 @@ WHERE user_id IN (
 def q_csv_parser(spark, sf_dir):
     """stanza csv_parser (operator/parser/csv/parser.go:78): static header
     list over a synthesized CSV line, parsed with from_csv."""
-    df = _t(spark, sf_dir, "lineitem").withColumn(
+    df = _t_par(spark, sf_dir, "lineitem").withColumn(
         "line",
         F.format_string("%s,%s,%s", F.col("l_orderkey"), F.col("l_returnflag"), F.col("l_linestatus")),
     )
@@ -1547,7 +1547,10 @@ def q_sequence_packing(spark, sf_dir):
     tests/test_scale_properties.py."""
     from ..operators import training
 
-    df = _t(spark, sf_dir, "documents")
+    # _t_par: tokenization fans out over the cores; the repartition(1) below
+    # then feeds pack_sequences, whose sortWithinPartitions(doc_id) makes the
+    # greedy layout independent of the incoming partitioning/order
+    df = _t_par(spark, sf_dir, "documents")
     toks = df.select(
         "doc_id",
         F.transform(
