@@ -395,6 +395,7 @@ def lsh_pairs_from_signatures(
     max_bucket_size: int = 200,
     hash_fn: str = "xxhash64",
     persist: bool = True,
+    carry: dict | None = None,
 ) -> DataFrame:
     """LSH banding + verify over a prebuilt (id, sig, *extra) signature frame.
 
@@ -406,6 +407,10 @@ def lsh_pairs_from_signatures(
     columns on ``base`` ride along in the cache so callers can join
     per-doc features (e.g. simhash) from the same materialization;
     lifecycle belongs to the caller (Spark evicts LRU).
+
+    ``carry`` maps extra ``base`` columns to their (side-a, side-b) output
+    names: the verify id-joins already re-attach ``base`` to each pair, so a
+    per-doc feature rides those joins instead of costing the caller two more.
     """
     rows_per_band = num_hashes // bands
     if persist and not (base.storageLevel.useMemory or base.storageLevel.useDisk):
@@ -439,21 +444,22 @@ def lsh_pairs_from_signatures(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
-    small = (
-        banded.groupBy("band", "bh")
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .filter(F.col("_bn") <= max_bucket_size)
-        .drop("_bn")
+    # One aggregation replaces [bucket-count agg + filter-join + bucket
+    # self-join] (guide §2.4): collect the member ids per bucket, drop hot
+    # buckets by array size (same ≤ max_bucket_size rule — singleton buckets
+    # produce no pairs either way), and generate the i<j pairs INSIDE the
+    # sorted array. The pair set is identical; the banded rows cross the
+    # network once instead of three times, and the whole candidate step is
+    # one Exchange instead of three plus a join.
+    pairs = _bucket_pairs(banded, "band", "bh", max_bucket_size=max_bucket_size)
+    sig_a = base.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+        *[F.col(c).alias(a) for c, (a, _) in (carry or {}).items()],
     )
-    banded = banded.join(small, ["band", "bh"])  # drop hot buckets
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    sig_b = base.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+        *[F.col(c).alias(b) for c, (_, b) in (carry or {}).items()],
     )
-    sig_a = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sig_b = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     pairs = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     est = (
         F.aggregate(
@@ -463,10 +469,45 @@ def lsh_pairs_from_signatures(
         )
         / F.lit(num_hashes)
     )
+    extra = [n for pair in (carry or {}).values() for n in pair]
     return (
         pairs.withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard_est", 4).alias("jaccard_est"))
+        .select("id_a", "id_b", F.round("jaccard_est", 4).alias("jaccard_est"), *extra)
+    )
+
+
+def _bucket_pairs(
+    banded: DataFrame, *bucket_cols: str, max_bucket_size: int, id_col: str = "id"
+) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs from bucket-membership rows.
+
+    ``collect_list`` per bucket + in-array pair generation: one shuffle of
+    the slim membership rows, versus the agg + filter-join + self-join form
+    which moves them three times. Buckets above ``max_bucket_size`` are
+    dropped whole (the standard LSH hot-bucket guard — a B-member bucket
+    yields B²/2 pairs), so the generated array is bounded at
+    max_bucket_size²/2 structs per bucket row.
+    """
+    buckets = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket_size))
+    )
+    ids = F.col("_ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -601,18 +642,27 @@ def ngram_jaccard_pairs(
     base = shingle_hash_frame(df, text_col, id_col, n).select(
         "id", F.slice("hs", 1, max_grams).alias("g")
     )
-    ex = base.select("id", F.explode_outer("g").alias("gram"))
-    dfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    # base is referenced three times (gram explode + both verify sides); the
+    # shingle build is the expensive part, so materialize it once (guide §5).
+    if not (base.storageLevel.useMemory or base.storageLevel.useDisk):
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # r6 (guide §2.4): document frequency comes from a window count over the
+    # gram partitioning instead of a separate aggregate joined back (one
+    # Exchange, no join), and ``sz`` rides the exploded rows (8 bytes/row)
+    # instead of being re-attached by an id join after the re-group.
+    ex = base.select(
+        "id", F.size("g").alias("sz"), F.explode_outer("g").alias("gram")
+    ).withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("gram")))
     if max_gram_df is not None:
-        dfreq = dfreq.filter(F.col("_df") <= max_gram_df)
-    ex = ex.join(dfreq, "gram")
+        ex = ex.filter(F.col("_df") <= max_gram_df)
     # per-doc grams in global (df, gram) ascending order; keep the ORIGINAL
     # gram-set size for the prefix/length math (cap-dropped grams shrink the
     # candidate surface, never the similarity arithmetic)
     ordered = (
-        ex.groupBy("id")
+        ex.groupBy("id", "sz")
         .agg(F.array_sort(F.collect_list(F.struct("_df", "gram"))).alias("_sg"))
-        .join(base.select("id", F.size("g").alias("sz")), "id")
         .withColumn(
             "_prefix",
             F.transform(
@@ -628,19 +678,36 @@ def ngram_jaccard_pairs(
         )
     )
     pex = ordered.select("id", "sz", F.explode_outer("_prefix").alias("gram"))
-    cand = (
-        pex.alias("a")
-        .join(
-            pex.alias("b"),
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.id") < F.col("b.id"))
-            # length filter: Jaccard ≥ t needs t·max(|a|,|b|) ≤ min(|a|,|b|)
-            & (
-                F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
-                <= F.least(F.col("a.sz"), F.col("b.sz"))
+    # r6 (guide §2.4): candidate generation via collect_list per gram +
+    # in-array (i<j) pair expansion — one shuffle of the slim prefix rows
+    # instead of agg + self-join; the AllPairs length filter applies to the
+    # exploded pairs exactly as it did in the join condition.
+    mem = (
+        pex.groupBy("gram")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sz"))).alias("_m"))
+        .filter(F.size("_m") >= 2)
+    )
+    m = F.col("_m")
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.size(m)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"), y["id"].alias("id_b"),
+                    x["sz"].alias("sz_a"), y["sz"].alias("sz_b"),
+                ),
             ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand = (
+        mem.select(F.explode(pair_structs).alias("_p"))
+        # length filter: Jaccard ≥ t needs t·max(|a|,|b|) ≤ min(|a|,|b|)
+        .filter(
+            F.lit(threshold) * F.greatest(F.col("_p.sz_a"), F.col("_p.sz_b"))
+            <= F.least(F.col("_p.sz_a"), F.col("_p.sz_b"))
+        )
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     ga = base.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"))

@@ -28,7 +28,7 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-def hyperplane_signature_udf(dim: int, bits: int = 16, seed: int = 7):
+def hyperplane_signature_udf(dim: int | None, bits: int = 16, seed: int = 7):
     """Vectorized (Arrow) signature: one numpy matmul per batch.
 
     sign(V @ P.T) packed into a long — identical bit convention to
@@ -38,14 +38,22 @@ def hyperplane_signature_udf(dim: int, bits: int = 16, seed: int = 7):
     subtree — no CSE inside HOF lambdas). Measured ~10× on the LSH pair
     queries. This is the input_hint's sanctioned slow-path: Arrow-batched
     pandas UDF, never per-row Python.
+
+    ``dim=None`` defers plane generation to the first batch (r6): the planes
+    depend only on (seed, bits, dim), so deriving dim from the data instead
+    of a driver-side ``.first()`` removes one job per query while producing
+    the identical matrix.
     """
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((bits, dim))
+    planes = rng.standard_normal((bits, dim)) if dim is not None else None
     weights = (1 << np.arange(bits, dtype=np.int64))
 
     @pandas_udf("long")
     def sig(emb: pd.Series) -> pd.Series:
+        nonlocal planes
         m = np.stack(emb.to_numpy()).astype(np.float64)
+        if planes is None:
+            planes = np.random.default_rng(seed).standard_normal((bits, m.shape[1]))
         bitsm = (m @ planes.T) > 0
         return pd.Series((bitsm * weights).sum(axis=1).astype(np.int64))
 
@@ -321,9 +329,10 @@ def all_pairs_above(
     Identical duplicates share every band at ANY width; near-dup recall
     per band is (1-θ/π)^band_bits — pick fewer bits for fuzzy-recall
     corpora, more for dedup of exact/near-exact copies."""
-    dim = len(df.select(vec_col).first()[0])
     vec = F.transform(vec_col, lambda x: x.cast("double"))
-    sig = hyperplane_signature_udf(dim, bits, seed)
+    # dim is inferred from the first Arrow batch inside the UDF (same seeded
+    # matrix) — no driver-side .first() job per query.
+    sig = hyperplane_signature_udf(None, bits, seed)
     base = df.select(F.col(id_col).alias("id"), vec.alias("v")).withColumn(
         "_sig", sig(F.col("v"))
     )
@@ -351,18 +360,13 @@ def all_pairs_above(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
-    small = (
-        banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_bucket_size)
-        .drop("_n")
-    )
-    banded = banded.join(small, ["band", "bh"])
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # r6: one collect_list aggregation + in-array pair generation replaces
+    # the [bucket-count agg + filter-join + bucket self-join] form — same
+    # pair set, one Exchange of the slim membership rows instead of three
+    # (see dedup._bucket_pairs).
+    from .dedup import _bucket_pairs
+
+    pairs = _bucket_pairs(banded, "band", "bh", max_bucket_size=max_bucket_size)
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     out = pairs.join(va, "id_a").join(vb, "id_b")

@@ -1746,23 +1746,19 @@ def q_minhash_lsh(spark, sf_dir):
     ).withColumn(
         "_ss", dedup.portable_minhash_features_udf(k=5, num_hashes=32)(F.col("_w"))
     ).select("id", F.col("_ss.sig").alias("sig"), F.col("_ss.sh").alias("sh"))
+    # r6: the simhash columns ride the verify id-joins inside
+    # lsh_pairs_from_signatures (``carry``) instead of two additional
+    # per-side joins here — same rows, two fewer joins. The select pins the
+    # historical column order (join-key-first from the old two-join form).
     pairs = dedup.lsh_pairs_from_signatures(
-        base, num_hashes=32, bands=8, jaccard_threshold=0.5, hash_fn="portable"
+        base, num_hashes=32, bands=8, jaccard_threshold=0.5, hash_fn="portable",
+        carry={"sh": ("simhash_a", "simhash_b")},
     )
-    sims = base.select("id", "sh")
-    return (
-        pairs.join(
-            sims.select(F.col("id").alias("id_a"), F.col("sh").alias("simhash_a")),
-            "id_a",
-        )
-        .join(
-            sims.select(F.col("id").alias("id_b"), F.col("sh").alias("simhash_b")),
-            "id_b",
-        )
-        .withColumn(
-            "simhash_hamming",
-            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).cast("long"),
-        )
+    return pairs.select(
+        "id_b", "id_a", "jaccard_est", "simhash_a", "simhash_b",
+        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+        .cast("long")
+        .alias("simhash_hamming"),
     )
 
 
@@ -1930,11 +1926,10 @@ def q_embedding_dedup_pairs(spark, sf_dir):
     oracle matches the banded-join + Arrow-cosine-verify pipeline."""
     from ..operators import similarity
 
-    emb = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 1000)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # r6: no repartition — the frame is capped at ~1.1k vectors at every sf
+    # (fixed-size workload), so a 32-way exchange only added stage latency;
+    # the signature UDF on 1.1k rows is trivial in one task.
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     dup = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
         "vec_id", F.col("vec_id") + 1_000_000
     )
