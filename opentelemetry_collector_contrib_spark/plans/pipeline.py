@@ -351,24 +351,49 @@ def run_pipeline(
         n_err = int(obs.get["rows_errors"])
         back = read_dataset(spark, routed_path)  # partition-pruned derived reads
         # copy route (non-consuming tee): audit rows regardless of move target
-        write_dataset(
-            back.filter((F.col("component") == "auth") & (F.col("route_id") != "_errors")),
-            os.path.join(out_dir, "sink_audit"),
-        )
         clean = back.filter(F.col("route_id") != "_errors")
-        write_dataset(
-            clean.groupBy("route_id", "severity_text").agg(
-                F.count(F.lit(1)).alias("count")
-            ),
-            os.path.join(out_dir, "counts"),
-        )
-        write_dataset(
-            clean.groupBy(
-                F.window("observed_timestamp", "10 seconds").alias("w"),
-                "source", "severity_number",
-            ).agg(F.count(F.lit(1)).alias("log_count")).drop("w"),
-            os.path.join(out_dir, "dedup_counts"),
-        )
+
+        def _w_audit() -> None:
+            write_dataset(
+                back.filter(
+                    (F.col("component") == "auth") & (F.col("route_id") != "_errors")
+                ),
+                os.path.join(out_dir, "sink_audit"),
+            )
+
+        def _w_counts() -> None:
+            write_dataset(
+                clean.groupBy("route_id", "severity_text").agg(
+                    F.count(F.lit(1)).alias("count")
+                ),
+                os.path.join(out_dir, "counts"),
+            )
+
+        def _w_dedup_counts() -> None:
+            write_dataset(
+                clean.groupBy(
+                    F.window("observed_timestamp", "10 seconds").alias("w"),
+                    "source", "severity_number",
+                ).agg(F.count(F.lit(1)).alias("log_count")).drop("w"),
+                os.path.join(out_dir, "dedup_counts"),
+            )
+
+        # The three derived sinks are independent re-scans of the committed
+        # routed table — run them as concurrent jobs so each job's task tail
+        # back-fills the executors the others free (guide §2.6). Exceptions
+        # propagate through pool.map; inheritable_thread_target keeps job
+        # descriptions/locals correct on the JVM side.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(
+                pool.map(
+                    inheritable_thread_target(lambda f: f()),
+                    [_w_audit, _w_counts, _w_dedup_counts],
+                )
+            )
     else:
         # sinkless mode: parse→enrich→route→AGGREGATE in one action — the
         # countconnector stage (groupBy + count) is the terminal aggregate;
