@@ -1860,35 +1860,50 @@ class Compiler:
         # them and pyspark's hint inference rejects the signature — explicit
         # returnType makes this a SCALAR pandas UDF (Series -> DataFrame
         # for struct returns)
+        # hoist the per-op dispatch out of the row loop: resolved
+        # (kind, fn, guard, empty-shortcut, extras, output-list) tuples —
+        # the loop body then does no dict lookups or enumerate per row
+        plan = [
+            (
+                reg[name][0],
+                reg[name][1],
+                reg[name][3],
+                name in ("GetXML", "RemoveXML"),
+                extras,
+            )
+            for (name, extras) in ops
+        ]
+
         def _fused(s):
             cols: list[list] = [[] for _ in ops]
+            prows = list(zip(plan, cols))
             for v in s:
                 doc = None
                 doc_failed = False
-                for i, (name, extras) in enumerate(ops):
-                    kind, fn, _rt, guard = reg[name]
-                    if v is None:
-                        cols[i].append(None)
-                        continue
+                if v is None:
+                    for _p, out in prows:
+                        out.append(None)
+                    continue
+                for (kind, fn, guard, empty_ok, extras), out in prows:
                     try:
                         if kind == "doc":
-                            if name in ("GetXML", "RemoveXML") and not v:
+                            if empty_ok and not v:
                                 # get_xml_str("") == "" == remove_xml_str("")
                                 # (both short-circuit before parsing)
-                                cols[i].append("")
+                                out.append("")
                                 continue
                             if doc is None and not doc_failed:
                                 try:
                                     doc = X._parse_doc(v)
                                 except (X.ET.ParseError, X.XMLArgError):
                                     doc_failed = True
-                            cols[i].append(None if doc_failed else fn(doc, *extras))
+                            out.append(None if doc_failed else fn(doc, *extras))
                         else:
-                            cols[i].append(fn(v, *extras))
+                            out.append(fn(v, *extras))
                     except Exception:
                         if not guard:
                             raise
-                        cols[i].append(None)
+                        out.append(None)
             return pd.DataFrame({f: c for f, c in zip(fields, cols)})
 
         fused = F.pandas_udf(_fused, rtype)

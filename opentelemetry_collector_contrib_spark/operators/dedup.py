@@ -811,21 +811,28 @@ def line_dedup(
     no signal and would all collide).
 
     Scale shape: explode to (id, pos, line-hash) — the document-frequency
-    aggregation shuffles 8-byte hashes, not line text; hot lines come back
-    as a left-anti join; docs rebuild with one groupBy(id) using a sorted
-    (pos, line) collect. Every shuffle key is slim; nothing quadratic.
-    Docs whose every line was boilerplate come back with empty text rather
-    than vanishing.
+    aggregation shuffles 8-byte hashes, not line text; the hot set comes
+    back as a broadcast LEFT join carrying a flag, and docs rebuild with one
+    groupBy over ALL their lines using conditional aggregation (collect_list
+    skips the nulls the flag produces), so all-boilerplate and null-text
+    docs come back with empty text without a separate re-attach join. One
+    shuffle of the line rows total (r6 — the previous form anti-joined,
+    re-grouped, then joined the ORIGINAL frame back on id: two more
+    exchanges and a second scan of the corpus). Every shuffle key is slim;
+    nothing quadratic.
     """
     import re as _re
 
     other_cols = [c for c in df.columns if c != text_col]
     # split() takes a Java regex but concat_ws rebuilds with the literal
     # separator — escape it so metachar separators (".", "|", "\r\n")
-    # split literally and round-trip
+    # split literally and round-trip. posexplode_OUTER keeps null-text docs
+    # as a (null, null) line so they survive into the rebuild group.
     lines = df.select(
         *other_cols,
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("_pos", "_line"),
+        F.posexplode_outer(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "_pos", "_line"
+        ),
     )
     lines = lines.withColumn("_lh", F.xxhash64("_line"))
     judged = F.length("_line") >= min_line_chars
@@ -834,27 +841,23 @@ def line_dedup(
         .groupBy("_lh")
         .agg(F.count_distinct(F.col(id_col)).alias("_ldf"))
         .filter(F.col("_ldf") > max_line_df)
-        .select("_lh")
+        .select("_lh", F.lit(True).alias("_hot"))
     )
-    kept = lines.join(hot, ["_lh"], "left_anti")
-    rebuilt = (
-        kept.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                sep,
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
-                    lambda s: s["_line"],
+    flagged = lines.join(hot, ["_lh"], "left")
+    keep = F.col("_hot").isNull() & F.col("_line").isNotNull()
+    rebuilt = flagged.groupBy(*other_cols).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("_pos", "_line")))
                 ),
-            ).alias(text_col),
-            F.count(F.lit(1)).alias("n_lines_kept"),
-        )
+                lambda s: s["_line"],
+            ),
+        ).alias(text_col),
+        F.sum(keep.cast("long")).alias("n_lines_kept"),
     )
-    return (
-        df.drop(text_col)
-        .join(rebuilt, id_col, "left")
-        .fillna({text_col: "", "n_lines_kept": 0})
-    )
+    return rebuilt
 
 
 def canonicalize_url(

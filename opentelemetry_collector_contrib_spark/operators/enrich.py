@@ -79,12 +79,16 @@ def geoip_range_lookup(df: DataFrame, ip_col: str, ranges: DataFrame) -> DataFra
     (ip_lo, ip_hi, payload...) as longs; the non-equi join stays broadcast
     so it never shuffles the fact side.
     """
+    # split once into a real column — the four octet references would each
+    # re-run the regex split when this projection falls out of codegen
+    df = df.withColumn("_ip_parts", F.split(F.col(ip_col), r"\."))
+    p = F.col("_ip_parts")
     ip_int = (
-        F.split(F.col(ip_col), r"\.")[0].cast("long") * 16777216
-        + F.split(F.col(ip_col), r"\.")[1].cast("long") * 65536
-        + F.split(F.col(ip_col), r"\.")[2].cast("long") * 256
-        + F.split(F.col(ip_col), r"\.")[3].cast("long")
+        p[0].cast("long") * 16777216
+        + p[1].cast("long") * 65536
+        + p[2].cast("long") * 256
+        + p[3].cast("long")
     )
-    df = df.withColumn("_ip_int", ip_int)
+    df = df.withColumn("_ip_int", ip_int).drop("_ip_parts")
     cond = (F.col("_ip_int") >= ranges["ip_lo"]) & (F.col("_ip_int") <= ranges["ip_hi"])
     return df.join(F.broadcast(ranges), cond, "left").drop("_ip_int", "ip_lo", "ip_hi")
