@@ -44,7 +44,7 @@ JSON_BODY_SCHEMA = (
 PIPELINE_SEVERITY_MAPPING = {"info": "2xx", "info2": "3xx", "warn": "4xx", "error": "5xx"}
 
 
-def fused_parse_arrow(df: DataFrame) -> DataFrame:
+def fused_parse_arrow(df: DataFrame, keep: set[str] | None = None) -> DataFrame:
     """Fused decode + parse in ONE Arrow pass (no second Python roundtrip).
 
     Per batch: rebuild the body StringArray zero-copy from the token
@@ -54,6 +54,16 @@ def fused_parse_arrow(df: DataFrame) -> DataFrame:
     regex_parser + json_parser + severity_parser stack of
     ``pkg/stanza/operator/parser/{regex,jsonparser,severity}`` collapsed
     into the decode pass.
+
+    ``keep``: optional set of output column names to emit (input
+    passthroughs and parse outputs alike). mapInArrow is opaque to
+    Catalyst, so the column pruning the optimizer would do for a plain
+    projection (guide §4.2) must be done by hand here: a terminal
+    aggregate that only consumes a handful of parsed columns should not
+    pay Arrow transport + row conversion for ``tokens``/``body`` on the
+    way back to the JVM. Every row is still decoded and parsed
+    identically — ``keep`` changes which columns cross the boundary,
+    never what is computed from each row.
     """
     import re as _re
 
@@ -75,11 +85,53 @@ def fused_parse_arrow(df: DataFrame) -> DataFrame:
         T.StructField("severity_text", T.StringType()),
         T.StructField("_parse_error", T.BooleanType()),
     ]
-    out_schema = T.StructType(in_fields + extra)
+    all_fields = in_fields + extra
+    if keep is None:
+        out_fields = all_fields
+    else:
+        out_fields = [f for f in all_fields if f.name in keep]
+    out_schema = T.StructType(out_fields)
+    emit_names = [f.name for f in out_fields]
     tok_idx = df.schema.fieldNames().index("tokens")
     rx = _re.compile(parsers.DEFAULT_LOG_PATTERN)
     groups = ["ts", "sev", "component", "user", "ip", "latency_ms", "msg"]
     jkeys = ["ts", "level", "component", "user", "ip", "latency_ms", "msg"]
+    group_out = {"ts": "ts_raw", "sev": "sev_raw"}
+    emitted = set(emit_names)
+    want_sev = bool({"sev_raw", "severity_number", "severity_text"} & emitted)
+    # 'ts' always participates (drives _parse_error); 'sev' when any
+    # severity output is emitted; the rest only when their column is kept
+    need_groups = [
+        g
+        for g in groups
+        if g == "ts"
+        or (g == "sev" and want_sev)
+        or group_out.get(g, g) in emitted
+    ]
+
+    def _sev_for_unique(u):
+        # one unique severity token -> (number, canonical text); replicates
+        # the base-map-then-numeric-range np.select the pandas path used,
+        # evaluated O(distinct) instead of O(rows)
+        n = SEVERITY_TEXT_TO_NUMBER.get(u)
+        if n is None:
+            try:
+                v = float(u)
+            except (TypeError, ValueError):
+                v = None
+            if v is not None and 1 <= v <= 24:
+                n = int(v)
+            elif v is not None and 200 <= v <= 299:
+                n = 9
+            elif v is not None and 300 <= v <= 399:
+                n = 10
+            elif v is not None and 400 <= v <= 499:
+                n = 13
+            elif v is not None and 500 <= v <= 599:
+                n = 17
+            else:
+                n = 0
+        return n, NUMBER_TO_CANONICAL_TEXT.get(n, "DEFAULT")
 
     def _fn(batches):
         import json as _json
@@ -103,12 +155,12 @@ def fused_parse_arrow(df: DataFrame) -> DataFrame:
                     [data[rel[i]: rel[i + 1]].decode("utf-8", "replace") for i in range(len(col))],
                     type=pa.string(),
                 )
-            s = sa.to_pandas()
 
             # RE2 (pyarrow C++) single-pass extract over the Arrow array —
-            # no GIL, no per-row Python; ~3× the throughput of pandas
-            # str.extract on this 7-group pattern. Exactness: every group
-            # in DEFAULT_LOG_PATTERN is mandatory (no optional groups), so
+            # no GIL, no per-row Python; the whole batch stays Arrow-native
+            # (no object-dtype pandas round-trip — measured as the dominant
+            # cost of the previous kernel). Exactness: every group in
+            # DEFAULT_LOG_PATTERN is mandatory (no optional groups), so
             # RE2's ''-for-nonparticipating ambiguity cannot arise; the one
             # remaining Python-re divergence ($ matches before a trailing
             # newline, RE2 does not) is guarded by re-extracting the
@@ -116,26 +168,30 @@ def fused_parse_arrow(df: DataFrame) -> DataFrame:
             # rejecting the pattern) falls back to pandas wholesale.
             try:
                 res = pc.extract_regex(sa, rx.pattern)
-                ex = pd.DataFrame(
-                    {g: pc.struct_field(res, g).to_pandas() for g in groups},
-                    index=s.index,
-                )
-                nl = s.str.endswith("\n").fillna(False)
-                if nl.any():
-                    sub = s[nl].str.extract(rx)
+                cols = {g: pc.struct_field(res, g) for g in need_groups}
+                nl = pc.fill_null(pc.ends_with(sa, pattern="\n"), False)
+                if pc.any(nl).as_py():
+                    sub = sa.filter(nl).to_pandas().str.extract(rx)
                     sub.columns = groups
-                    for g in groups:
-                        ex.loc[nl, g] = sub[g]
+                    for g in need_groups:
+                        rep = pa.array(
+                            [None if pd.isna(v) else v for v in sub[g]],
+                            type=pa.string(),
+                        )
+                        cols[g] = pc.replace_with_mask(cols[g], nl, rep)
             except pa.ArrowInvalid:
-                ex = s.str.extract(rx)  # one vectorized pass, all groups
+                ex = sa.to_pandas().str.extract(rx)  # one vectorized pass
                 ex.columns = groups
-            is_json = s.str.startswith("{")
-            err = ex["ts"].isna() & ~is_json
-            jm = is_json.to_numpy()
-            if jm.any():
+                cols = {
+                    g: pa.Array.from_pandas(ex[g], type=pa.string())
+                    for g in need_groups
+                }
+            is_json = pc.fill_null(pc.starts_with(sa, pattern="{"), False)
+            err = pc.and_(pc.is_null(cols["ts"]), pc.invert(is_json))
+            if pc.any(is_json).as_py():
                 parsed = []
                 jerr = []
-                for line in s[jm]:
+                for line in sa.filter(is_json).to_pylist():
                     try:
                         o = _json.loads(line)
                         parsed.append(o if isinstance(o, dict) else {})
@@ -144,54 +200,60 @@ def fused_parse_arrow(df: DataFrame) -> DataFrame:
                         parsed.append({})
                         jerr.append(True)
                 for g, k in zip(groups, jkeys):
-                    ex.loc[jm, g] = pd.Series(
+                    if g not in cols:
+                        continue
+                    rep = pa.array(
                         [None if p.get(k) is None else str(p.get(k)) for p in parsed],
-                        index=ex.index[jm],
-                        dtype="object",
+                        type=pa.string(),
                     )
-                err.loc[jm] = jerr
+                    cols[g] = pc.replace_with_mask(cols[g], is_json, rep)
+                err = pc.replace_with_mask(err, is_json, pa.array(jerr, pa.bool_()))
 
-            lat = pd.to_numeric(ex["latency_ms"], errors="coerce").astype("Int32")
-            low = ex["sev"].str.lower()
-            base = low.map(SEVERITY_TEXT_TO_NUMBER)
-            num = pd.to_numeric(low, errors="coerce")
-            # builtin default mapping (aliases + "1".."24") PLUS the
-            # flagship pipeline's explicit severity mapping config
-            # {info: 2xx, info2: 3xx, warn: 4xx, error: 5xx} — HTTP ranges
-            # are a mapping feature in the reference (severity_builder.go
-            # :94-105), not builtin defaults; this fused kernel hard-wires
-            # the flagship's FIXTURES.md config (PIPELINE_SEVERITY_MAPPING)
-            sn = pd.Series(
-                np.select(
-                    [
-                        base.notna(),
-                        (num >= 1) & (num <= 24),
-                        (num >= 200) & (num <= 299),
-                        (num >= 300) & (num <= 399),
-                        (num >= 400) & (num <= 499),
-                        (num >= 500) & (num <= 599),
-                    ],
-                    [base.fillna(0), num.fillna(0), 9, 10, 13, 17],
+            produced = {f.name: batch.column(i) for i, f in enumerate(in_fields)}
+            produced["body"] = sa
+            produced["_parse_error"] = err
+            for g in need_groups:
+                produced[group_out.get(g, g)] = cols[g]
+            if "latency_ms" in cols:
+                try:
+                    produced["latency_ms"] = pc.cast(cols["latency_ms"], pa.int32())
+                except pa.ArrowInvalid:
+                    # non-integral/garbage latency token (JSON bodies only;
+                    # the regex group is digits-only) — pandas coerce path
+                    produced["latency_ms"] = pa.Array.from_pandas(
+                        pd.to_numeric(
+                            cols["latency_ms"].to_pandas(), errors="coerce"
+                        ).astype("Int32"),
+                        type=pa.int32(),
+                    )
+            if want_sev:
+                # builtin default mapping (aliases + "1".."24") PLUS the
+                # flagship pipeline's explicit severity mapping config
+                # {info: 2xx, info2: 3xx, warn: 4xx, error: 5xx} — HTTP
+                # ranges are a mapping feature in the reference
+                # (severity_builder.go:94-105), not builtin defaults; this
+                # fused kernel hard-wires the flagship's FIXTURES.md config
+                # (PIPELINE_SEVERITY_MAPPING). Dictionary-encode first: the
+                # severity vocabulary is tiny, so the mapping runs per
+                # DISTINCT value, then a C++ take().
+                enc = pc.dictionary_encode(pc.utf8_lower(cols["sev"]))
+                mapped = [_sev_for_unique(u) for u in enc.dictionary.to_pylist()]
+                produced["severity_number"] = pc.fill_null(
+                    pc.take(
+                        pa.array([m[0] for m in mapped], pa.int32()), enc.indices
+                    ),
                     0,
                 )
-            ).astype("int32")
-            st = sn.map(NUMBER_TO_CANONICAL_TEXT).fillna("DEFAULT")
+                produced["severity_text"] = pc.fill_null(
+                    pc.take(
+                        pa.array([m[1] for m in mapped], pa.string()), enc.indices
+                    ),
+                    NUMBER_TO_CANONICAL_TEXT.get(0, "DEFAULT"),
+                )
 
-            arrays = [batch.column(i) for i in range(batch.num_columns)] + [
-                sa,
-                pa.Array.from_pandas(ex["ts"], type=pa.string()),
-                pa.Array.from_pandas(ex["sev"], type=pa.string()),
-                pa.Array.from_pandas(ex["component"], type=pa.string()),
-                pa.Array.from_pandas(ex["user"], type=pa.string()),
-                pa.Array.from_pandas(ex["ip"], type=pa.string()),
-                pa.Array.from_pandas(lat, type=pa.int32()),
-                pa.Array.from_pandas(ex["msg"], type=pa.string()),
-                pa.Array.from_pandas(sn, type=pa.int32()),
-                pa.Array.from_pandas(st, type=pa.string()),
-                pa.Array.from_pandas(err, type=pa.bool_()),
-            ]
-            names = [f.name for f in in_fields] + [f.name for f in extra]
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            yield pa.RecordBatch.from_arrays(
+                [produced[n] for n in emit_names], names=emit_names
+            )
 
     return df.mapInArrow(_fn, out_schema)
 
@@ -209,7 +271,9 @@ def salted_repartition(df: DataFrame, key: str, partitions: int, salt_buckets: i
     )
 
 
-def parse_stage(df: DataFrame, regex_mode: str = "arrow") -> DataFrame:
+def parse_stage(
+    df: DataFrame, regex_mode: str = "arrow", keep: set[str] | None = None
+) -> DataFrame:
     """decode → line/JSON parse → time + severity. No shuffle.
 
     mode="arrow" (default): ONE fused mapInArrow pass does decode + a
@@ -218,11 +282,23 @@ def parse_stage(df: DataFrame, regex_mode: str = "arrow") -> DataFrame:
     regexp_extract (7×/row) and un-CSE'd from_json references (6×/row)
     dominate. mode="column" keeps everything in whole-stage codegen and is
     retained for differential testing.
+
+    ``keep`` (arrow mode): column-prune the opaque kernel's OUTPUT to the
+    named columns — what Catalyst would do automatically for a transparent
+    projection (guide §4.2). Per-row parse work is unchanged; only the
+    Arrow payload crossing back to the JVM shrinks.
     """
     if regex_mode == "arrow":
-        df = fused_parse_arrow(df)
-        df = parsers.time_parser(df, "ts_raw", "timestamp", "%Y-%m-%dT%H:%M:%S.%fZ")
-        return df.withColumn("observed_timestamp", F.col("timestamp"))
+        kernel_keep = None
+        if keep is not None:
+            kernel_keep = set(keep) - {"timestamp", "observed_timestamp"}
+            if {"timestamp", "observed_timestamp"} & set(keep):
+                kernel_keep.add("ts_raw")
+        df = fused_parse_arrow(df, keep=kernel_keep)
+        if kernel_keep is None or "ts_raw" in kernel_keep:
+            df = parsers.time_parser(df, "ts_raw", "timestamp", "%Y-%m-%dT%H:%M:%S.%fZ")
+            df = df.withColumn("observed_timestamp", F.col("timestamp"))
+        return df
     df = tok.decode_tokens(df, "body")
     is_json = F.col("body").startswith("{")
     j = F.from_json(F.col("body"), JSON_BODY_SCHEMA)
@@ -256,11 +332,31 @@ def parse_stage(df: DataFrame, regex_mode: str = "arrow") -> DataFrame:
 
 
 def enrich_stage(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Broadcast dimension chain: source → namespace (k8sattributes analog)."""
-    dim_source = spark.createDataFrame(tok.dim_source_rows())
-    dim_ns = spark.createDataFrame(tok.dim_namespace_rows())
-    df = enrich.broadcast_lookup(df, dim_source, "source")
-    return enrich.broadcast_lookup(df, dim_ns, "k8s_namespace_name")
+    """Dimension chain: source → namespace (k8sattributes analog).
+
+    The two dims are static in-repo config tables (5 + 3 rows), so the
+    lookup is folded to constant literal maps (``GetMapValue`` — missing
+    key ⇒ null, exactly the left-join association-failure path): zero
+    broadcast-build jobs and zero driver ``createDataFrame`` fixed cost
+    per run, same values (pinned by test_enrichment_matches_oracle). Same
+    move the r6 severity_parser row made. The broadcast-join-shaped
+    operator itself lives on in ``operators/enrich.py`` and is exercised
+    by the ``enrich_broadcast_chain`` catalog row, where the dimension is
+    a real table, not static config.
+    """
+
+    def attach(frame: DataFrame, rows: list[dict], key: str) -> DataFrame:
+        payload = [c for c in rows[0] if c != key]
+        out_cols = {}
+        for c in payload:
+            m = F.create_map(
+                *[x for r in rows for x in (F.lit(r[key]), F.lit(r.get(c)))]
+            )
+            out_cols[c] = m[F.col(key)]
+        return frame.withColumns(out_cols)
+
+    df = attach(df, tok.dim_source_rows(), "source")
+    return attach(df, tok.dim_namespace_rows(), "k8s_namespace_name")
 
 
 def default_routes() -> list[connectors.Route]:
@@ -397,9 +493,34 @@ def run_pipeline(
     else:
         # sinkless mode: parse→enrich→route→AGGREGATE in one action — the
         # countconnector stage (groupBy + count) is the terminal aggregate;
-        # used by bench for the compute-scaling measurement.
+        # used by bench for the compute-scaling measurement. The terminal
+        # aggregate consumes only (route_id, severity_text, _parse_error)
+        # plus the enrich/route inputs, so the opaque parse kernel is told
+        # to emit exactly those columns (manual column pruning, guide §4.2
+        # — Catalyst cannot see through mapInArrow): every row is still
+        # decoded/parsed/enriched/routed identically, but tokens/body and
+        # the other unused parse outputs stop crossing the Python→JVM
+        # boundary. Differential equality with the full-width parse is
+        # pinned in tests/test_pipeline_e2e.py.
+        slim = parse_stage(
+            raw.select("source", "tokens"),
+            regex_mode,
+            keep={
+                "source",
+                "component",
+                "severity_number",
+                "severity_text",
+                "_parse_error",
+            },
+        )
+        slim = enrich_stage(spark, slim)
+        slim_routed = connectors.routed_frame(slim, default_routes())
+        slim_routed = slim_routed.withColumn(
+            "route_id",
+            F.when(F.col("_parse_error"), "_errors").otherwise(F.col("route_id")),
+        )
         rows = (
-            routed.groupBy("route_id", "severity_text")
+            slim_routed.groupBy("route_id", "severity_text")
             .agg(F.count(F.lit(1)).alias("count"))
             .collect()
         )

@@ -161,3 +161,21 @@ def test_run_pipeline_and_resume(spark, tokens_path, tmp_path):
     routed = spark.read.parquet(str(tmp_path / "out" / "routed"))
     assert routed.count() == m1["rows_routed"] + m1["rows_errors"]
     assert routed.filter(F.col("route_id") == "_errors").count() == m1["rows_errors"]
+
+
+def test_slim_parse_matches_full(spark, tokens_path, tmp_path):
+    """The column-pruned kernel (keep=...) emits exactly the same values for
+    the kept columns as the full-width parse, and the sinkless run_pipeline
+    (which uses it) reports metrics identical to the sinks run."""
+    raw = tok.read_tokens(spark, tokens_path)
+    cols = ["doc_id", "source", "component", "severity_number", "severity_text", "_parse_error"]
+    full = pl.parse_stage(raw).select(*cols)
+    slim = pl.parse_stage(
+        raw.select("doc_id", "source", "tokens"), keep=set(cols)
+    ).select(*cols)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, slim.collect()))
+
+    m_sink = pl.run_pipeline(spark, tokens_path, str(tmp_path / "a"), write_sinks=True)
+    m_slim = pl.run_pipeline(spark, tokens_path, str(tmp_path / "b"), write_sinks=False)
+    assert (m_slim["rows_routed"], m_slim["rows_errors"]) == (
+        m_sink["rows_routed"], m_sink["rows_errors"])

@@ -34,14 +34,17 @@ def test_scan_pushdown_and_pruning(spark, tokens_path):
     assert "tokens" not in rs  # column pruning reaches the scan
 
 
-def test_enrich_is_broadcast_not_shuffle(spark, tokens_path):
+def test_enrich_is_narrow_no_shuffle(spark, tokens_path):
+    """The flagship enrich must never shuffle the fact table. r6: the static
+    dims are folded to constant literal maps (GetMapValue), so the stage is
+    now fully narrow — zero joins of any kind and zero exchanges."""
     from opentelemetry_collector_contrib_spark.plans import pipeline as pl
 
     raw = tok.read_tokens(spark, tokens_path)
     routed = pl.LogPipeline(spark).route(pl.enrich_stage(spark, pl.parse_stage(raw)))
     plan = routed._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Join" not in plan and "Exchange" not in plan
 
 
 def test_counts_aggregate_is_partial_then_final(spark, tokens_path):
