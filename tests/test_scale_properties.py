@@ -168,3 +168,21 @@ def test_line_dedup_shuffles_hashes_not_text(spark):
     assert "_lh" in plan
     got = {r.doc_id: r.text for r in out.collect()}
     assert all("shared header" not in t for t in got.values())
+
+
+def test_scan_splits_probe(spark, tmp_path):
+    """_t_par's split probe: pure file-size arithmetic on local paths, same
+    decisions as the old df.rdd.getNumPartitions() probe (single small file
+    -> 1 split -> repartition fires; files >> maxPartitionBytes -> enough
+    splits -> no exchange added)."""
+    from opentelemetry_collector_contrib_spark.plans import catalog
+
+    df = spark.range(10).toDF("x")
+    p = str(tmp_path / "t.parquet")
+    df.write.parquet(p)
+    n = catalog._scan_splits(spark, str(tmp_path), "t", spark.read.parquet(p))
+    assert n == len([f for f in (tmp_path / "t.parquet").iterdir()
+                     if f.name.endswith(".parquet")])
+    # missing path falls back to the rdd probe without raising
+    n2 = catalog._scan_splits(spark, str(tmp_path), "nope", spark.read.parquet(p))
+    assert n2 >= 1
